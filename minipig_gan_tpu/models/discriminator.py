@@ -1,0 +1,126 @@
+"""Discriminators for the cross-modality GAN, TPU-native (NDHWC).
+
+Three variants, mirroring the reference's experiments:
+
+* `GlobalDiscriminator` — the canonical "old" discriminator
+  (/root/reference/code/GAN/GAN_final.py:159-209): on a 128^3 volume,
+  Conv3d(1->64, k3, s1, VALID) + BN + LeakyReLU(0.2)
+  Conv3d(64->128, k3, s1, VALID) + BN + LReLU
+  Conv3d(128->256, k4, s2, VALID) + BN + LReLU
+  Conv3d(256->256, k4, s2, VALID) + BN + LReLU      -> 29^3 x 256 features
+  Flatten -> Linear(256*29^3 -> 1) -> sigmoid.
+
+* `PatchPerceptualDiscriminator` — the patch + perceptual-taps variant
+  (/root/reference/test_runs/GAN.py:136-198): on 16^3 patches,
+  4x [Conv3d(k3, s1, VALID) 1->64->128->256->512 + BN + LReLU],
+  Flatten -> Linear(512*8^3 -> 64) -> Linear(64 -> 1) -> sigmoid; forward
+  returns (validity, activations) where activations capture the output of
+  EVERY sub-layer (conv, norm, and act each produce a tap, then each linear
+  stage) exactly as the reference's per-module loop does.
+
+* `MonaiStyleDiscriminator` — the early MONAI `Discriminator` experiment
+  (/root/reference/test_runs/perceptual_test.py:127-171): strided conv
+  pyramid channels (8,16,32,64,1) with PReLU, final sigmoid over a
+  1-logit head.
+
+All discriminators RETURN LOGITS; apply `jax.nn.sigmoid` (or use the
+from-logits BCE in train/losses.py, which is the numerically stable identical
+computation) to recover the reference's sigmoid outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import BatchNorm3d, Conv3d, Dense, PReLU, leaky_relu
+
+
+class GlobalDiscriminator(nn.Module):
+    """Whole-volume discriminator (GAN_final.py:159-209). Returns logits (N, 1)."""
+
+    features: Tuple[int, ...] = (64, 128, 256, 256)
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        specs = [
+            (self.features[0], 3, 1),
+            (self.features[1], 3, 1),
+            (self.features[2], 4, 2),
+            (self.features[3], 4, 2),
+        ]
+        for i, (f, k, s) in enumerate(specs):
+            x = Conv3d(f, kernel_size=k, strides=s, padding=0,
+                       dtype=self.dtype, name=f"conv{i}")(x)
+            x = BatchNorm3d(axis_name=self.bn_axis_name, name=f"norm{i}")(x, train)
+            x = leaky_relu(x, 0.2)
+        # Flatten. torch flattens NCDHW as (C, D, H, W) row-major; our layout is
+        # NDHWC. The Linear head is ours to train, so the permutation is only a
+        # weight-ordering convention — keep NDHWC order (TPU-friendly layout).
+        x = x.reshape(x.shape[0], -1)
+        x = Dense(1, dtype=self.dtype, name="head")(x)
+        return x.astype(jnp.float32)
+
+
+class PatchPerceptualDiscriminator(nn.Module):
+    """Patch discriminator with perceptual activation taps
+    (test_runs/GAN.py:136-198). Input: (N, 16, 16, 16, 1) patches.
+
+    Returns (logits (N,1), activations list). When `capture_activations` is
+    False the taps are skipped (mirrors use_perceptual=False in GAN2.py:137).
+    """
+
+    features: Tuple[int, ...] = (64, 128, 256, 512)
+    hidden: int = 64
+    capture_activations: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        acts: List[jax.Array] = []
+
+        def tap(v):
+            if self.capture_activations:
+                acts.append(v)
+            return v
+
+        for i, f in enumerate(self.features):
+            x = tap(Conv3d(f, kernel_size=3, strides=1, padding=0,
+                           dtype=self.dtype, name=f"conv{i}")(x))
+            x = tap(BatchNorm3d(axis_name=self.bn_axis_name, name=f"norm{i}")(x, train))
+            x = tap(leaky_relu(x, 0.2))
+        x = tap(x.reshape(x.shape[0], -1))
+        x = tap(Dense(self.hidden, dtype=self.dtype, name="fc0")(x))
+        logits = Dense(1, dtype=self.dtype, name="fc1")(x)
+        tap(logits)
+        tap(jax.nn.sigmoid(logits.astype(jnp.float32)))
+        return logits.astype(jnp.float32), acts
+
+
+class MonaiStyleDiscriminator(nn.Module):
+    """Early experiment wrapping monai.networks.nets.Discriminator
+    (test_runs/perceptual_test.py:127-171): strided Conv3d pyramid with
+    PReLU + BatchNorm, flattened 1-logit head. Returns logits (N, 1)."""
+
+    features: Tuple[int, ...] = (8, 16, 32, 64)
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        for i, f in enumerate(self.features):
+            x = Conv3d(f, kernel_size=3, strides=2, padding=1,
+                       dtype=self.dtype, name=f"conv{i}")(x)
+            x = BatchNorm3d(axis_name=self.bn_axis_name, name=f"norm{i}")(x, train)
+            x = PReLU(name=f"act{i}")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = Dense(1, dtype=self.dtype, name="head")(x)
+        return x.astype(jnp.float32)

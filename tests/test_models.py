@@ -1,0 +1,102 @@
+"""Shape/geometry unit tests mirroring the reference smoke scripts
+(test_runs/generator_test.py:79-89, test_runs/discriminator_test.py:91-101)
+— exact canonical geometries checked via jax.eval_shape (no FLOPs), small
+real forwards for numerics/range.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipig_gan_tpu.models import (
+    CasNetGenerator,
+    GlobalDiscriminator,
+    MonaiStyleDiscriminator,
+    PatchPerceptualDiscriminator,
+    UNet3D,
+)
+
+
+def test_casnet_128_geometry_eval_shape():
+    """Canonical config (GAN_final.py:100-119): 1x128^3 in -> 1x128^3 out."""
+    g = CasNetGenerator()  # 6 blocks, channels (16,32,64,128), strides (2,2,2)
+    x = jax.ShapeDtypeStruct((1, 128, 128, 128, 1), jnp.float32)
+
+    def init_and_run(rng):
+        out, _ = g.init_with_output(rng, jnp.zeros(x.shape, x.dtype), train=False)
+        return out
+
+    out = jax.eval_shape(init_and_run, jax.random.PRNGKey(0))
+    assert out.shape == (1, 128, 128, 128, 1)
+
+
+def test_global_discriminator_128_to_29_geometry():
+    """GAN_final.py:165-204: 128^3 input yields a 29^3 x 256 feature map
+    before the Linear(256*29^3 -> 1) head."""
+    d = GlobalDiscriminator()
+    x = jnp.zeros((2, 128, 128, 128, 1))
+    variables = jax.eval_shape(lambda r: d.init(r, x, train=False), jax.random.PRNGKey(0))
+    head_kernel = variables["params"]["head"]["kernel"]
+    assert head_kernel.shape == (256 * 29 * 29 * 29, 1)
+    out = jax.eval_shape(
+        lambda v: d.apply(v, x, train=False), variables
+    )
+    assert out.shape == (2, 1)
+
+
+def test_patch_discriminator_16_to_8_geometry():
+    """test_runs/GAN.py:142-181: 16^3 patches -> 8^3 x 512 -> 64 -> 1."""
+    d = PatchPerceptualDiscriminator()
+    x = jnp.zeros((128, 16, 16, 16, 1))
+    variables = jax.eval_shape(lambda r: d.init(r, x, train=False), jax.random.PRNGKey(0))
+    assert variables["params"]["fc0"]["kernel"].shape == (512 * 8 * 8 * 8, 64)
+    (logits, acts) = jax.eval_shape(
+        lambda v: d.apply(v, x, train=False), variables
+    )
+    assert logits.shape == (128, 1)
+    assert len(acts) == 16  # 4 x (conv, bn, lrelu) + flatten + fc0 + fc1 + sigmoid
+
+
+def test_casnet_output_in_tanh_range():
+    g = CasNetGenerator(n_unet_blocks=2, channels=(4, 8), strides=(2,))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 8, 1), jnp.float32)
+    y, _ = g.init_with_output(jax.random.PRNGKey(1), x, train=True)
+    y = np.asarray(y[0] if isinstance(y, tuple) else y)
+    assert y.shape == (1, 8, 8, 8, 1)
+    assert np.all(y >= -1.0) and np.all(y <= 1.0)
+
+
+def test_casnet_scan_and_loop_param_count_match():
+    """scan-stacked params must hold exactly n_blocks x per-block params."""
+    kwargs = dict(n_unet_blocks=3, channels=(4, 8), strides=(2,))
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    rng = jax.random.PRNGKey(0)
+    v_scan = jax.eval_shape(
+        lambda r: CasNetGenerator(**kwargs, use_scan=True).init(r, x, train=False), rng)
+    v_loop = jax.eval_shape(
+        lambda r: CasNetGenerator(**kwargs, use_scan=False).init(r, x, train=False), rng)
+
+    def count(tree):
+        return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
+
+    assert count(v_scan["params"]) == count(v_loop["params"])
+
+
+def test_monai_style_discriminator():
+    d = MonaiStyleDiscriminator()
+    x = jnp.zeros((2, 64, 64, 64, 1))
+    out, _ = jax.eval_shape(
+        lambda r: d.init_with_output(r, x, train=False), jax.random.PRNGKey(0)
+    )
+    assert out.shape == (2, 1)
+
+
+def test_unet_7level_variant_geometry():
+    """generator_test.py:47-77 variant: 7-level channels (64..512)."""
+    m = UNet3D(channels=(64, 128, 256, 512, 512, 512, 512),
+               strides=(2, 2, 2, 2, 2, 2), num_res_units=2)
+    x = jnp.zeros((1, 128, 128, 128, 1))
+    out = jax.eval_shape(
+        lambda r: m.init_with_output(r, x, train=False)[0], jax.random.PRNGKey(0)
+    )
+    assert out.shape == (1, 128, 128, 128, 1)
