@@ -1,0 +1,185 @@
+"""Typed configuration for the whole framework.
+
+The reference has essentially no config system — hyperparameters live in
+Lightning `save_hyperparameters` calls and hard-coded absolute paths
+(/root/reference/code/GAN/GAN_final.py:214-231,445; inferrence.py:91-92).
+Here every subsystem is driven by these dataclasses; CLIs parse overrides
+with `--key value` / `--section.key value` flags and can round-trip to JSON
+(`to_json`/`from_json`) so checkpoints carry their exact provenance, the way
+Lightning persisted hparams.yaml (GAN_final.py:231, inferrence.py:103).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """CasNet (GAN_final.py:92-122). Defaults = the canonical trained model."""
+
+    n_unet_blocks: int = 6
+    channels: Tuple[int, ...] = (16, 32, 64, 128)
+    strides: Tuple[int, ...] = (2, 2, 2)
+    num_res_units: int = 2
+    use_scan: bool = True
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """kind: 'global' (GAN_final.py:159-209), 'patch' (test_runs/GAN.py:136-198),
+    or 'monai' (test_runs/perceptual_test.py:127-171)."""
+
+    kind: str = "global"
+    features: Tuple[int, ...] = (64, 128, 256, 256)
+    patch_features: Tuple[int, ...] = (64, 128, 256, 512)
+    patch_hidden: int = 64
+    use_perceptual: bool = True  # GAN.py vs GAN2.py ablation switch
+
+
+@dataclass(frozen=True)
+class PatchConfig:
+    """RandSpatialCropSamplesd(roi=16^3, num_samples=128)
+    (test_runs/GAN.py:263-272)."""
+
+    roi_size: Tuple[int, int, int] = (16, 16, 16)
+    num_samples: int = 128
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """GAN hparams (GAN_final.py:214-231: g_lr=d_lr=5e-4, b1=.5, b2=.999,
+    one_sided=0.9, train bs=4 @ GAN_final.py:421-425; test_runs lr=2e-4)."""
+
+    g_lr: float = 5e-4
+    d_lr: float = 5e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    batch_size: int = 4
+    eval_batch_size: int = 1
+    one_sided_label_value: float = 0.9
+    max_steps: int = 1_000_000
+    seed: int = 0
+    # 'gan' = full pix2pix loop; 'generator_only' = L1 regression slice
+    # (BASELINE.json config 1); 'patch' = patch+perceptual loop (config 3).
+    mode: str = "gan"
+    # numeric policy: params fp32; compute dtype for convs.
+    compute_dtype: str = "bfloat16"
+    log_every: int = 10
+    checkpoint_every: int = 500
+    keep_top_k: int = 1
+    image_log_every_epochs: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + preprocessing (GAN_final.py:321-437, transforms.py)."""
+
+    structure_json: str = ""
+    spatial_size: Tuple[int, int, int] = (128, 128, 128)
+    # human canonical grid: identity direction, 256mm FOV (transforms.py:140-147)
+    fov_mm: float = 256.0
+    # percentile window -> [-1, 1] (GAN_final.py:386-394)
+    lower_percentile: float = 1.0
+    upper_percentile: float = 99.0
+    b_min: float = -1.0
+    b_max: float = 1.0
+    cache_num: int = 500
+    num_workers: int = 8
+    shuffle: bool = True
+    prefetch: int = 2
+    # synthetic fallback (CPU-testable fixture; SURVEY.md §7.1)
+    synthetic_num_pairs: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. data = DP axis (grad psum over ICI); spatial = optional
+    volume-sharding axis for >HBM volumes (SURVEY.md §2 parallelism plan)."""
+
+    data: int = -1  # -1 = all devices
+    spatial: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    generator: GeneratorConfig = field(default_factory=GeneratorConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    patch: PatchConfig = field(default_factory=PatchConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    log_dir: str = "./runs"
+
+
+# --------------------------------------------------------------------------
+# (De)serialization + flat-flag overrides
+# --------------------------------------------------------------------------
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def to_json(cfg: Config) -> str:
+    return json.dumps(to_dict(cfg), indent=2)
+
+
+def _from_dict(cls, d: Dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def from_dict(d: Dict[str, Any]) -> Config:
+    return _from_dict(Config, d)
+
+
+def from_json(s: str) -> Config:
+    return from_dict(json.loads(s))
+
+
+def apply_overrides(cfg: Config, overrides: Dict[str, str]) -> Config:
+    """Apply {'train.g_lr': '1e-3', 'generator.n_unet_blocks': '4'}-style
+    dotted-path string overrides with type coercion."""
+    d = to_dict(cfg)
+    for path, raw in overrides.items():
+        parts = path.split(".")
+        node = d
+        for p in parts[:-1]:
+            if p not in node:
+                raise KeyError(f"unknown config section {p!r} in {path!r}")
+            node = node[p]
+        key = parts[-1]
+        if key not in node:
+            raise KeyError(f"unknown config key {path!r}")
+        cur = node[key]
+        if isinstance(cur, bool):
+            node[key] = str(raw).lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int) and not isinstance(cur, bool):
+            node[key] = int(raw)
+        elif isinstance(cur, float):
+            node[key] = float(raw)
+        elif isinstance(cur, list):
+            node[key] = [type(cur[0])(x) if cur else x for x in str(raw).split(",")]
+        else:
+            node[key] = raw
+    return from_dict(d)

@@ -1,0 +1,106 @@
+"""Synthetic brain-like NIfTI fixtures — CPU-testable stand-in for the
+PREDICT-HD BIDS dataset the reference trains on (SURVEY.md §7.1: "synthetic-
+volume fixture so everything below is CPU-testable").
+
+Generates T1w/T2w pairs with a shared anatomy (nested ellipsoids ≈ skull /
+gray / white / ventricles) but modality-specific contrast, arbitrary
+spacing/origin/direction — so the resampler, normalizer, trainer, and eval
+all exercise realistic geometry without real data. Can also emit a full BIDS
+tree + structure.json for end-to-end CLI tests.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .nifti import ImageMeta, write_nifti
+from .structure import generate_structure, write_structure
+
+
+# tissue contrast (T1w, T2w) per compartment, roughly MRI-like
+_COMPARTMENTS = (
+    # (semiaxis scale, t1 intensity, t2 intensity)
+    (1.00, 0.30, 0.20),  # skull/scalp
+    (0.85, 0.75, 0.45),  # white matter
+    (0.60, 0.55, 0.65),  # gray matter
+    (0.25, 0.20, 0.95),  # ventricles / CSF
+)
+
+
+def synthetic_pair(
+    shape_zyx: Tuple[int, int, int] = (48, 56, 44),
+    spacing: Sequence[float] = (1.2, 1.0, 1.1),
+    seed: int = 0,
+    rotate: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, ImageMeta]:
+    """Return (t1w, t2w, meta) with shared anatomy, differing contrast."""
+    rng = np.random.RandomState(seed)
+    z, y, x = shape_zyx
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, z), np.linspace(-1, 1, y), np.linspace(-1, 1, x),
+        indexing="ij",
+    )
+    # random per-subject anatomy wobble
+    cz, cy, cx = rng.uniform(-0.08, 0.08, 3)
+    az, ay, ax = 0.82 + rng.uniform(-0.05, 0.05, 3)
+    r = np.sqrt(((zz - cz) / az) ** 2 + ((yy - cy) / ay) ** 2 + ((xx - cx) / ax) ** 2)
+
+    t1 = np.zeros(shape_zyx, np.float32)
+    t2 = np.zeros(shape_zyx, np.float32)
+    for scale, i1, i2 in _COMPARTMENTS:
+        mask = r < scale
+        t1[mask] = i1
+        t2[mask] = i2
+    # smooth-ish texture + noise
+    tex = rng.randn(*shape_zyx).astype(np.float32)
+    for axis in range(3):  # cheap blur
+        tex = 0.5 * tex + 0.25 * (np.roll(tex, 1, axis) + np.roll(tex, -1, axis))
+    t1 += 0.05 * tex + 0.02 * rng.randn(*shape_zyx).astype(np.float32)
+    t2 += 0.05 * tex + 0.02 * rng.randn(*shape_zyx).astype(np.float32)
+    t1 *= 1000.0  # MRI-like raw intensity scale
+    t2 *= 800.0
+
+    spacing = np.asarray(spacing, np.float64)
+    size_xyz = np.asarray(shape_zyx[::-1], np.float64)
+    direction = np.eye(3)
+    if rotate:
+        th = rng.uniform(-0.2, 0.2)
+        c, s = np.cos(th), np.sin(th)
+        direction = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    # center the volume near the AC-at-origin convention (transforms.py:154-159)
+    origin = -(direction @ (spacing * (size_xyz - 1) / 2.0))
+    meta = ImageMeta(origin=origin, spacing=spacing, direction=direction)
+    return t1, t2, meta
+
+
+def make_bids_dataset(
+    root,
+    n_subjects: int = 4,
+    sessions_per_subject: int = 1,
+    shape_zyx: Tuple[int, int, int] = (48, 56, 44),
+    splits: Sequence[float] = (0.5, 0.25, 0.25),
+    seed: int = 0,
+    gzip: bool = True,
+) -> str:
+    """Write a synthetic BIDS tree and its structure.json; returns json path."""
+    root = Path(root)
+    ext = ".nii.gz" if gzip else ".nii"
+    for si in range(n_subjects):
+        for se in range(sessions_per_subject):
+            ses_dir = root / f"sub-{si:04d}" / f"ses-{se:02d}"
+            ses_dir.mkdir(parents=True, exist_ok=True)
+            t1, t2, meta = synthetic_pair(
+                shape_zyx=shape_zyx, seed=seed * 1000 + si * 10 + se
+            )
+            write_nifti(ses_dir / f"sub-{si:04d}_ses-{se:02d}_T1w{ext}", t1, meta)
+            write_nifti(ses_dir / f"sub-{si:04d}_ses-{se:02d}_T2w{ext}", t2, meta)
+    structure = generate_structure(
+        str(root), splits=splits,
+        t1w_glob=f"*T1w{ext}", t2w_glob=f"*T2w{ext}", seed=seed,
+    )
+    json_path = root / "structure.json"
+    write_structure(structure, json_path)
+    return str(json_path)

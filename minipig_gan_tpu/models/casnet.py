@@ -46,6 +46,9 @@ class CasNetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        if self.dtype is not None:
+            # keep the scan carry dtype stable (blocks emit self.dtype)
+            x = x.astype(self.dtype)
         unet_kwargs = dict(
             out_channels=self.out_channels,
             channels=self.channels,

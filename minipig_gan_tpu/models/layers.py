@@ -46,6 +46,12 @@ def _triple(v: IntOr3) -> Tuple[int, int, int]:
 
 def torch_conv_kernel_init(fan_in: int) -> Callable:
     """torch's default kaiming_uniform_(a=sqrt(5)): U(-1/sqrt(fan_in), +)."""
+    if fan_in <= 0:
+        raise ValueError(
+            "layer fan_in is 0 — the input has no features. For discriminators "
+            "this usually means the patch/volume is too small for the conv "
+            "stack (spatial size collapsed to 0 through the VALID convs)."
+        )
     bound = 1.0 / math.sqrt(fan_in)
 
     def init(key, shape, dtype=jnp.float32):
@@ -99,7 +105,6 @@ class Conv3d(nn.Module):
             window_strides=s,
             padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -160,7 +165,6 @@ class ConvTranspose3d(nn.Module):
             padding=pads,
             lhs_dilation=s,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -272,7 +276,7 @@ class Dense(nn.Module):
             "kernel", torch_conv_kernel_init(in_f), (in_f, self.features), self.param_dtype
         )
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=jnp.float32)
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", torch_bias_init(in_f), (self.features,), self.param_dtype

@@ -1,0 +1,234 @@
+"""Trilinear physical-space resampling onto a reference grid — the TPU-native
+replacement for ITK's ResampleImageFilter (★NATIVE item 1 in SURVEY.md §2).
+
+Reference semantics reproduced:
+  * Human canonical grid (`ResampleT1T2d`, /root/reference/code/GAN/
+    transforms.py:140-184): identity direction, origin = -output_size/2
+    (note: the reference sets origin from the SIZE, not the FOV — reproduced
+    verbatim), spacing = 256mm / output_size, identity transform, linear
+    interpolation, zero padding outside the input (ITK default).
+  * Minipig native-FOV grid (`MiniPigResampled`, transforms2.py:148-172):
+    keeps the image's own direction; output spacing = physical_size /
+    output_size; origin shifted by (out_spacing - in_spacing)/2 so voxel
+    EDGES align.
+
+Math: ITK maps index -> physical as  p = D_in @ diag(s_in) @ i + o_in.
+With an identity transform, the resampler evaluates the input image at the
+physical location of each output voxel, i.e. at continuous input index
+
+    i_in = diag(1/s_in) @ D_in^T @ (D_out @ diag(s_out) @ i_out + o_out - o_in)
+
+(using D^-1 = D^T for direction-cosine matrices). We fold that into a single
+affine (matrix, offset) on the host and interpolate on device.
+
+Two device paths:
+  * `trilinear_gather`: general affine — one fused 8-corner gather, any
+    direction matrix.
+  * `separable_resample`: when the affine matrix is diagonal (axis-aligned
+    case — covers the minipig policy always, and the human policy whenever
+    the scan is axis-aligned), resampling factorizes into three small dense
+    interpolation matmuls that run on the MXU instead of the gather unit —
+    the TPU speed-of-light formulation.
+`resample` picks automatically. All functions are jit-compatible with static
+output shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.nifti import ImageMeta
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """An output sampling grid in physical (LPS) space."""
+
+    size_zyx: Tuple[int, int, int]
+    origin: np.ndarray  # (3,) xyz
+    spacing: np.ndarray  # (3,) xyz
+    direction: np.ndarray  # (3,3)
+
+    @property
+    def size_xyz(self) -> np.ndarray:
+        return np.asarray(self.size_zyx[::-1], np.float64)
+
+    def meta(self, filename: str = "") -> ImageMeta:
+        return ImageMeta(
+            origin=np.asarray(self.origin, np.float64),
+            spacing=np.asarray(self.spacing, np.float64),
+            direction=np.asarray(self.direction, np.float64),
+            filename=filename,
+        )
+
+
+def human_canonical_grid(
+    output_size: Tuple[int, int, int] = (128, 128, 128), fov_mm: float = 256.0
+) -> GridSpec:
+    """transforms.py:140-147: origin = -size/2 (verbatim, incl. the quirk that
+    this is half the VOXEL COUNT, not half the FOV), spacing = fov/size,
+    identity direction. For 128^3 @ 256mm: origin (-64,-64,-64), spacing 2."""
+    size = np.asarray(output_size, np.float64)  # (x, y, z) == cubic in practice
+    return GridSpec(
+        size_zyx=tuple(int(s) for s in output_size[::-1]),
+        origin=-size / 2.0,
+        spacing=fov_mm / size,
+        direction=np.eye(3),
+    )
+
+
+def minipig_native_grid(
+    input_shape_zyx: Tuple[int, int, int],
+    input_meta: ImageMeta,
+    output_size: Tuple[int, int, int] = (128, 128, 128),
+) -> GridSpec:
+    """transforms2.py:148-165: keep direction; spacing = physical_size/out_size;
+    origin += (out_spacing - in_spacing)/2 (voxel-edge alignment)."""
+    size_xyz = np.asarray(input_shape_zyx[::-1], np.float64)
+    out_size_xyz = np.asarray(output_size, np.float64)
+    physical = size_xyz * input_meta.spacing
+    out_spacing = physical / out_size_xyz
+    origin = input_meta.origin - input_meta.spacing / 2.0 + out_spacing / 2.0
+    return GridSpec(
+        size_zyx=tuple(int(s) for s in output_size[::-1]),
+        origin=origin,
+        spacing=out_spacing,
+        direction=input_meta.direction.copy(),
+    )
+
+
+def resample_affine(input_meta: ImageMeta, grid: GridSpec) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: fold grids into (matrix, offset): i_in = M @ i_out + t (xyz)."""
+    d_in = np.asarray(input_meta.direction, np.float64)
+    s_in = np.asarray(input_meta.spacing, np.float64)
+    d_out = np.asarray(grid.direction, np.float64)
+    s_out = np.asarray(grid.spacing, np.float64)
+    inv_in = np.diag(1.0 / s_in) @ d_in.T
+    m = inv_in @ d_out @ np.diag(s_out)
+    t = inv_in @ (np.asarray(grid.origin) - np.asarray(input_meta.origin))
+    return m, t
+
+
+def _is_diagonal(m: np.ndarray, tol: float = 1e-9) -> bool:
+    return bool(np.all(np.abs(m - np.diag(np.diag(m))) < tol))
+
+
+def _axis_weights(n_out: int, n_in: int, scale: float, offset: float) -> np.ndarray:
+    """Dense (n_out, n_in) linear-interp matrix for i_in = scale*i_out + offset.
+
+    Rows for out-of-bounds samples are all-zero (ITK zero padding). Built on
+    host with numpy — it's tiny ((128, n_in)) and reused for every volume with
+    the same geometry.
+    """
+    i_out = np.arange(n_out, dtype=np.float64)
+    c = scale * i_out + offset
+    lo = np.floor(c).astype(np.int64)
+    frac = c - lo
+    w = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    lo_ok = (lo >= 0) & (lo <= n_in - 1)
+    hi_ok = (lo + 1 >= 0) & (lo + 1 <= n_in - 1)
+    # Match ITK: ResampleImageFilter emits the pad value (0) whenever the
+    # continuous index falls outside the closed buffer [0, n-1].
+    inside = (c >= 0.0) & (c <= n_in - 1.0)
+    w[rows[lo_ok & inside], lo[lo_ok & inside]] += (1.0 - frac)[lo_ok & inside]
+    w[rows[hi_ok & inside], np.clip(lo + 1, 0, n_in - 1)[hi_ok & inside]] += frac[hi_ok & inside]
+    return w
+
+
+def separable_resample(vol: jax.Array, weights_zyx: Tuple[jax.Array, jax.Array, jax.Array]) -> jax.Array:
+    """Axis-aligned resample as three dense matmuls (MXU path).
+
+    vol: (Z, Y, X); weights_zyx: (Wz (Zo, Z), Wy (Yo, Y), Wx (Xo, X)).
+    """
+    wz, wy, wx = weights_zyx
+    v = jnp.einsum("ax,zyx->zya", wx, vol)
+    v = jnp.einsum("by,zya->zba", wy, v)
+    v = jnp.einsum("cz,zba->cba", wz, v)
+    return v
+
+
+def trilinear_gather(
+    vol: jax.Array, matrix: jax.Array, offset: jax.Array,
+    out_size_zyx: Tuple[int, int, int],
+) -> jax.Array:
+    """General-affine trilinear resample via 8-corner gather.
+
+    vol (Z, Y, X); matrix/offset map output xyz index -> input xyz continuous
+    index. Outside the input buffer -> 0 (ITK default pad).
+    """
+    zo, yo, xo = out_size_zyx
+    zi = jax.lax.broadcasted_iota(jnp.float32, (zo, yo, xo), 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (zo, yo, xo), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (zo, yo, xo), 2)
+    m = matrix.astype(jnp.float32)
+    t = offset.astype(jnp.float32)
+    # xyz continuous input coords
+    cx = m[0, 0] * xi + m[0, 1] * yi + m[0, 2] * zi + t[0]
+    cy = m[1, 0] * xi + m[1, 1] * yi + m[1, 2] * zi + t[1]
+    cz = m[2, 0] * xi + m[2, 1] * yi + m[2, 2] * zi + t[2]
+
+    nz, ny, nx = vol.shape
+    inside = (
+        (cx >= 0.0) & (cx <= nx - 1.0)
+        & (cy >= 0.0) & (cy <= ny - 1.0)
+        & (cz >= 0.0) & (cz <= nz - 1.0)
+    )
+    x0 = jnp.clip(jnp.floor(cx), 0, nx - 1)
+    y0 = jnp.clip(jnp.floor(cy), 0, ny - 1)
+    z0 = jnp.clip(jnp.floor(cz), 0, nz - 1)
+    fx = cx - x0
+    fy = cy - y0
+    fz = cz - z0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    v = vol.astype(jnp.float32)
+
+    def at(zz, yy, xx):
+        return v[zz, yy, xx]
+
+    c000 = at(z0, y0, x0)
+    c001 = at(z0, y0, x1)
+    c010 = at(z0, y1, x0)
+    c011 = at(z0, y1, x1)
+    c100 = at(z1, y0, x0)
+    c101 = at(z1, y0, x1)
+    c110 = at(z1, y1, x0)
+    c111 = at(z1, y1, x1)
+
+    c00 = c000 * (1 - fx) + c001 * fx
+    c01 = c010 * (1 - fx) + c011 * fx
+    c10 = c100 * (1 - fx) + c101 * fx
+    c11 = c110 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = c0 * (1 - fz) + c1 * fz
+    return jnp.where(inside, out, 0.0)
+
+
+def resample(
+    vol: np.ndarray | jax.Array, input_meta: ImageMeta, grid: GridSpec
+) -> jax.Array:
+    """Resample one (Z, Y, X) volume onto `grid`; auto-selects the separable
+    MXU path when the folded affine is diagonal."""
+    m, t = resample_affine(input_meta, grid)
+    if _is_diagonal(m):
+        zo, yo, xo = grid.size_zyx
+        nz, ny, nx = vol.shape
+        wx = jnp.asarray(_axis_weights(xo, nx, m[0, 0], t[0]))
+        wy = jnp.asarray(_axis_weights(yo, ny, m[1, 1], t[1]))
+        wz = jnp.asarray(_axis_weights(zo, nz, m[2, 2], t[2]))
+        return separable_resample(jnp.asarray(vol, jnp.float32), (wz, wy, wx))
+    return trilinear_gather(
+        jnp.asarray(vol, jnp.float32), jnp.asarray(m), jnp.asarray(t), grid.size_zyx
+    )

@@ -1,0 +1,272 @@
+"""The GAN training program: models + optimizers + the single-jit train step.
+
+Reference semantics being reproduced (/root/reference/code/GAN/GAN_final.py:
+212-317 and test_runs/GAN.py:236-464):
+
+  * Lightning runs `training_step` once per optimizer per batch: first the
+    generator update (optimizer_idx 0), then the discriminator update
+    (optimizer_idx 1) — the D step re-runs the generator forward with the
+    ALREADY-UPDATED G params and `.detach()`es it (GAN_final.py:289-291).
+    Both G forwards run in train mode, so G's BatchNorm running stats update
+    twice per batch; D's BN stats update on every D forward (fake-batch during
+    the G step, then real and fake batches during the D step) — all reproduced
+    here through explicit `batch_stats` threading in that exact order.
+  * Two independent Adam(b1=0.5, b2=0.999) optimizers (GAN_final.py:298-308).
+  * Losses: BCE adversarial (targets 1 for G; 0.9/0 one-sided for D) + L1
+    reconstruction (+ per-tap perceptual in patch mode) — see losses.py.
+  * Patch mode samples 128 random 16^3 ROIs per volume INSIDE the step
+    (test_runs/GAN.py:263-272,311-337), re-sampled independently for the G
+    and D sub-steps exactly as Lightning's two training_step calls would.
+
+TPU-native design: the whole alternating update is ONE jit-compiled function
+`(state, batch) -> (state, metrics)` with donated state — no host round trips,
+no per-optimizer dispatch, no recompilation between sub-steps. Data
+parallelism comes from jit + NamedSharding on the batch (parallel/mesh.py);
+XLA inserts the gradient all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import (
+    CasNetGenerator,
+    GlobalDiscriminator,
+    MonaiStyleDiscriminator,
+    PatchPerceptualDiscriminator,
+)
+from ..ops.patches import random_patch_pairs
+from . import losses as L
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    rng: jax.Array
+    g_params: Any
+    g_stats: Any
+    g_opt_state: Any
+    d_params: Optional[Any] = None
+    d_stats: Optional[Any] = None
+    d_opt_state: Optional[Any] = None
+
+
+def build_models(cfg: Config, bn_axis_name: Optional[str] = None):
+    """Construct generator + discriminator modules from config."""
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    gen = CasNetGenerator(
+        n_unet_blocks=cfg.generator.n_unet_blocks,
+        channels=cfg.generator.channels,
+        strides=cfg.generator.strides,
+        num_res_units=cfg.generator.num_res_units,
+        use_scan=cfg.generator.use_scan,
+        remat=cfg.generator.remat,
+        bn_axis_name=bn_axis_name,
+        dtype=dtype,
+    )
+    kind = cfg.discriminator.kind
+    if cfg.train.mode == "patch":
+        kind = "patch"
+    if cfg.train.mode == "generator_only":
+        disc = None
+    elif kind == "global":
+        disc = GlobalDiscriminator(
+            features=cfg.discriminator.features, bn_axis_name=bn_axis_name, dtype=dtype
+        )
+    elif kind == "patch":
+        disc = PatchPerceptualDiscriminator(
+            features=cfg.discriminator.patch_features,
+            hidden=cfg.discriminator.patch_hidden,
+            capture_activations=cfg.discriminator.use_perceptual,
+            bn_axis_name=bn_axis_name,
+            dtype=dtype,
+        )
+    elif kind == "monai":
+        disc = MonaiStyleDiscriminator(bn_axis_name=bn_axis_name, dtype=dtype)
+    else:
+        raise ValueError(f"unknown discriminator kind {kind!r}")
+    return gen, disc
+
+
+def build_optimizers(cfg: Config):
+    g_tx = optax.adam(cfg.train.g_lr, b1=cfg.train.b1, b2=cfg.train.b2, eps=1e-8)
+    d_tx = optax.adam(cfg.train.d_lr, b1=cfg.train.b1, b2=cfg.train.b2, eps=1e-8)
+    return g_tx, d_tx
+
+
+class GANTrainer:
+    """Owns static model/optimizer definitions; provides pure init/step fns.
+
+    `train_step` is a pure function of (state, batch) suitable for
+    jax.jit(donate_argnums=0) — the trainer object itself is static.
+    """
+
+    def __init__(self, cfg: Config, bn_axis_name: Optional[str] = None):
+        self.cfg = cfg
+        self.generator, self.discriminator = build_models(cfg, bn_axis_name)
+        self.g_tx, self.d_tx = build_optimizers(cfg)
+        self.mode = cfg.train.mode
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]) -> GANTrainState:
+        t1 = sample_batch["t1w"]
+        g_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        g_vars = self.generator.init(g_rng, t1, train=True)
+        g_params, g_stats = g_vars["params"], g_vars.get("batch_stats", {})
+        g_opt_state = self.g_tx.init(g_params)
+        d_params = d_stats = d_opt_state = None
+        if self.discriminator is not None:
+            d_in = t1
+            if self.mode == "patch":
+                roi = self.cfg.patch.roi_size
+                d_in = jnp.zeros((1, *roi, t1.shape[-1]), t1.dtype)
+            d_vars = self.discriminator.init(d_rng, d_in, train=True)
+            d_params, d_stats = d_vars["params"], d_vars.get("batch_stats", {})
+            d_opt_state = self.d_tx.init(d_params)
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            rng=s_rng,
+            g_params=g_params,
+            g_stats=g_stats,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_stats=d_stats,
+            d_opt_state=d_opt_state,
+        )
+
+    # -- forward helpers ----------------------------------------------------
+
+    def _g_apply(self, params, stats, x):
+        return self.generator.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+
+    def _d_apply(self, params, stats, x):
+        out, upd = self.discriminator.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        if isinstance(out, tuple):
+            logits, acts = out
+        else:
+            logits, acts = out, []
+        return logits, acts, upd["batch_stats"]
+
+    def generate(self, state: GANTrainState, t1: jax.Array) -> jax.Array:
+        """Eval-mode generator forward (running BN stats), for inference."""
+        return self.generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats}, t1, train=False
+        )
+
+    # -- the train step -----------------------------------------------------
+
+    def train_step(
+        self, state: GANTrainState, batch: Dict[str, jax.Array]
+    ) -> Tuple[GANTrainState, Dict[str, jax.Array]]:
+        t1, t2 = batch["t1w"], batch["t2w"]
+        rng, g_rng, d_rng = jax.random.split(state.rng, 3)
+        metrics: Dict[str, jax.Array] = {}
+
+        if self.mode == "generator_only":
+            # Config-1 slice (BASELINE.json): pure L1 regression.
+            def loss_fn(g_params):
+                gen, g_upd = self._g_apply(g_params, state.g_stats, t1)
+                loss = L.l1_loss(gen, t2)
+                return loss, g_upd["batch_stats"]
+
+            (loss, g_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.g_params
+            )
+            updates, g_opt_state = self.g_tx.update(
+                grads, state.g_opt_state, state.g_params
+            )
+            g_params = optax.apply_updates(state.g_params, updates)
+            metrics = {"g_recon_loss": loss, "g_loss": loss}
+            new_state = state.replace(
+                step=state.step + 1, rng=rng, g_params=g_params,
+                g_stats=g_stats, g_opt_state=g_opt_state,
+            )
+            return new_state, metrics
+
+        use_patches = self.mode == "patch"
+        use_perceptual = use_patches and self.cfg.discriminator.use_perceptual
+        roi = self.cfg.patch.roi_size
+        n_samples = self.cfg.patch.num_samples
+
+        # ---- generator sub-step (optimizer_idx == 0) ----
+        def g_loss_fn(g_params):
+            gen, g_upd = self._g_apply(g_params, state.g_stats, t1)
+            if use_patches:
+                gen_d, real_d = random_patch_pairs(g_rng, gen, t2, roi, n_samples)
+            else:
+                gen_d, real_d = gen, t2
+            fake_logits, acts_fake, d_stats1 = self._d_apply(
+                state.d_params, state.d_stats, gen_d
+            )
+            acts_real = []
+            d_stats2 = d_stats1
+            if use_perceptual:
+                _, acts_real, d_stats2 = self._d_apply(
+                    state.d_params, d_stats1, real_d
+                )
+            ls = L.generator_loss(
+                fake_logits, gen_d, real_d, acts_fake, acts_real, use_perceptual
+            )
+            return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2)
+
+        (_, (g_ls, g_stats, d_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_updates, g_opt_state = self.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        metrics.update(g_ls)
+
+        # ---- discriminator sub-step (optimizer_idx == 1) ----
+        # Fresh G forward with the UPDATED generator, detached
+        # (GAN_final.py:289-291); G BN stats update a second time.
+        gen2, g_upd2 = self._g_apply(g_params, g_stats, t1)
+        gen2 = jax.lax.stop_gradient(gen2)
+        g_stats = g_upd2["batch_stats"]
+        if use_patches:
+            gen_d2, real_d2 = random_patch_pairs(d_rng, gen2, t2, roi, n_samples)
+        else:
+            gen_d2, real_d2 = gen2, t2
+
+        def d_loss_fn(d_params):
+            real_logits, _, d_s1 = self._d_apply(d_params, d_stats, real_d2)
+            fake_logits, _, d_s2 = self._d_apply(d_params, d_s1, gen_d2)
+            ls = L.discriminator_loss(
+                real_logits, fake_logits, self.cfg.train.one_sided_label_value
+            )
+            return ls["d_loss"], (ls, d_s2)
+
+        (_, (d_ls, d_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_updates, d_opt_state = self.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        metrics.update(d_ls)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            g_params=g_params,
+            g_stats=g_stats,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_stats=d_stats,
+            d_opt_state=d_opt_state,
+        )
+        return new_state, metrics

@@ -1,0 +1,69 @@
+"""Loss parity vs torch.nn.functional (the reference's loss implementations,
+GAN_final.py:244-248, test_runs/GAN.py:288-298)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from minipig_gan_tpu.train import losses as L
+
+
+def test_bce_with_logits_equals_sigmoid_bce():
+    rs = np.random.RandomState(0)
+    logits = rs.randn(16, 1).astype(np.float32) * 3
+    for target in (1.0, 0.9, 0.0):
+        ours = float(L.bce_with_logits(jnp.asarray(logits), target))
+        torch_val = float(
+            F.binary_cross_entropy(
+                torch.sigmoid(torch.from_numpy(logits)),
+                torch.full((16, 1), target),
+            )
+        )
+        assert abs(ours - torch_val) < 1e-5
+
+
+def test_bce_on_probs_matches_torch():
+    rs = np.random.RandomState(1)
+    p = rs.uniform(0.01, 0.99, (8, 1)).astype(np.float32)
+    t = rs.randint(0, 2, (8, 1)).astype(np.float32)
+    ours = float(L.bce(jnp.asarray(p), jnp.asarray(t)))
+    tv = float(F.binary_cross_entropy(torch.from_numpy(p), torch.from_numpy(t)))
+    assert abs(ours - tv) < 1e-6
+
+
+def test_l1_matches_torch():
+    rs = np.random.RandomState(2)
+    a = rs.randn(2, 4, 4, 4, 1).astype(np.float32)
+    b = rs.randn(2, 4, 4, 4, 1).astype(np.float32)
+    ours = float(L.l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    tv = float(F.l1_loss(torch.from_numpy(a), torch.from_numpy(b)))
+    assert abs(ours - tv) < 1e-6
+
+
+def test_perceptual_matches_reference_formula():
+    """sum_k l1_mean/numel — the reference's double normalization
+    (test_runs/GAN.py:293-297)."""
+    rs = np.random.RandomState(3)
+    acts_f = [rs.randn(4, 3, 3, 3, 2).astype(np.float32) for _ in range(3)]
+    acts_r = [rs.randn(4, 3, 3, 3, 2).astype(np.float32) for _ in range(3)]
+    ours = float(
+        L.perceptual_loss([jnp.asarray(a) for a in acts_f],
+                          [jnp.asarray(a) for a in acts_r])
+    )
+    expected = 0.0
+    for af, ar in zip(acts_f, acts_r):
+        expected += float(
+            F.l1_loss(torch.from_numpy(ar), torch.from_numpy(af))
+        ) / ar.size
+    assert abs(ours - expected) < 1e-8
+
+
+def test_discriminator_loss_formula():
+    rs = np.random.RandomState(4)
+    rl = jnp.asarray(rs.randn(4, 1).astype(np.float32))
+    fl = jnp.asarray(rs.randn(4, 1).astype(np.float32))
+    out = L.discriminator_loss(rl, fl, 0.9)
+    expected = (float(L.bce_with_logits(rl, 0.9)) + float(L.bce_with_logits(fl, 0.0))) / 2
+    assert abs(float(out["d_loss"]) - expected) < 1e-7

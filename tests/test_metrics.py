@@ -1,0 +1,106 @@
+"""Metrics vs oracles: torch for MAE/MSE, a skimage-formula numpy
+implementation for SSIM/PSNR (psnr_ssim_metric.py:88-96 semantics), and a
+numpy joint-histogram MI."""
+
+import numpy as np
+import torch
+from scipy.ndimage import uniform_filter
+
+import jax.numpy as jnp
+
+from minipig_gan_tpu.ops import metrics as M
+
+
+def skimage_ssim_oracle(a, b, data_range=256.0, win=7, K1=0.01, K2=0.03):
+    """Literal re-implementation of skimage.metrics.structural_similarity for
+    nd images with gaussian_weights=False (the reference's call)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    NP = win ** a.ndim
+    cov_norm = NP / (NP - 1)
+    filt = lambda x: uniform_filter(x, size=win)
+    ux, uy = filt(a), filt(b)
+    uxx, uyy, uxy = filt(a * a), filt(b * b), filt(a * b)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    pad = (win - 1) // 2
+    sl = tuple(slice(pad, s - pad) for s in S.shape)
+    return S[sl].mean()
+
+
+def test_mae_mse_match_torch():
+    rs = np.random.RandomState(0)
+    a = rs.rand(16, 16, 16).astype(np.float32) * 255
+    b = rs.rand(16, 16, 16).astype(np.float32) * 255
+    assert abs(float(M.mae(jnp.asarray(a), jnp.asarray(b)))
+               - float(torch.nn.functional.l1_loss(torch.from_numpy(a), torch.from_numpy(b)))) < 1e-3
+    assert abs(float(M.mse(jnp.asarray(a), jnp.asarray(b)))
+               - float(torch.nn.functional.mse_loss(torch.from_numpy(a), torch.from_numpy(b)))) < 2e-2
+
+
+def test_psnr_formula():
+    rs = np.random.RandomState(1)
+    a = rs.rand(8, 8, 8).astype(np.float32) * 255
+    b = a + rs.randn(8, 8, 8).astype(np.float32) * 5
+    got = float(M.psnr(jnp.asarray(a), jnp.asarray(b), 256.0))
+    err = np.mean((a - b) ** 2)
+    expected = 10 * np.log10(256.0 ** 2 / err)
+    assert abs(got - expected) < 1e-3
+
+
+def test_ssim_matches_skimage_formula():
+    rs = np.random.RandomState(2)
+    a = rs.rand(16, 18, 20).astype(np.float32) * 255
+    b = np.clip(a + rs.randn(16, 18, 20).astype(np.float32) * 20, 0, 255)
+    got = float(M.ssim3d(jnp.asarray(a), jnp.asarray(b), 256.0))
+    expected = skimage_ssim_oracle(a, b, 256.0)
+    assert abs(got - expected) < 1e-4, (got, expected)
+
+
+def test_ssim_identical_is_one():
+    a = np.random.RandomState(3).rand(10, 10, 10).astype(np.float32) * 255
+    assert abs(float(M.ssim3d(jnp.asarray(a), jnp.asarray(a), 256.0)) - 1.0) < 1e-6
+
+
+def test_mutual_information_properties():
+    rs = np.random.RandomState(4)
+    # histogram-MI bias ~ bins^2/(2N); use 32^3 samples so it stays small
+    a = rs.rand(32, 32, 32).astype(np.float32) * 255
+    noise = rs.rand(32, 32, 32).astype(np.float32) * 255
+    mi_self = float(M.mutual_information(jnp.asarray(a), jnp.asarray(a)))
+    mi_noise = float(M.mutual_information(jnp.asarray(a), jnp.asarray(noise)))
+    mi_corr = float(M.mutual_information(jnp.asarray(a), jnp.asarray(np.clip(a + 20, 0, 255))))
+    assert mi_self > mi_corr > mi_noise
+    assert mi_noise < 0.15  # independent -> ~bias only
+
+
+def test_mutual_information_matches_numpy_histogram():
+    rs = np.random.RandomState(5)
+    a = rs.rand(12, 12, 12).astype(np.float32) * 255
+    b = np.clip(a * 0.5 + rs.rand(12, 12, 12).astype(np.float32) * 100, 0, 255)
+    bins = 64
+    h, _, _ = np.histogram2d(a.ravel(), b.ravel(), bins=bins, range=[[0, 256], [0, 256]])
+    p = h / h.sum()
+    px = p.sum(1, keepdims=True)
+    py = p.sum(0, keepdims=True)
+    nz = p > 0
+    expected = float((p[nz] * np.log(p[nz] / (px @ py)[nz])).sum())
+    got = float(M.mutual_information(jnp.asarray(a), jnp.asarray(b), bins=bins))
+    assert abs(got - expected) < 1e-3
+
+
+def test_evaluation_suite_keys():
+    rs = np.random.RandomState(6)
+    gen = rs.rand(12, 12, 12).astype(np.float32) * 255
+    gt = rs.rand(12, 12, 12).astype(np.float32) * 255
+    t1 = rs.rand(12, 12, 12).astype(np.float32) * 255
+    out = M.evaluation_suite(jnp.asarray(gen), jnp.asarray(gt), jnp.asarray(t1))
+    assert {"mae_t2gen_vs_t2gt", "mse_t2gen_vs_t2gt", "psnr_t2gen_vs_t2gt",
+            "ssim_t2gen_vs_t2gt", "mi_t2gen_vs_t2gt",
+            "mae_t1gt_vs_t2gt", "mse_t1gt_vs_t2gt"}.issubset(out.keys())
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k

@@ -1,0 +1,74 @@
+"""structure.json schema, subject-level splits, cartesian pairing
+(generate_json.py:52-99, GAN_final.py:347-366)."""
+
+import json
+
+import numpy as np
+
+from minipig_gan_tpu.data import (
+    count_breakdown,
+    generate_structure,
+    load_structure,
+    make_bids_dataset,
+    split_pairs,
+    structure_to_pairs,
+)
+
+
+def test_bids_generation_and_schema(tmp_path):
+    json_path = make_bids_dataset(tmp_path / "bids", n_subjects=6,
+                                  shape_zyx=(8, 8, 8), splits=(0.5, 0.25, 0.25),
+                                  seed=0)
+    structure = load_structure(json_path)
+    assert set(structure.keys()) == {"train", "validation", "test"}
+    assert sum(len(v) for v in structure.values()) == 6
+    # schema: split -> sub -> ses -> {t1w, t2w, meta}
+    sub = next(iter(structure["train"].values()))
+    ses = next(iter(sub.values()))
+    assert set(ses.keys()) == {"t1w", "t2w", "meta"}
+    assert len(ses["t1w"]) == 1 and ses["t1w"][0].endswith("T1w.nii.gz")
+
+
+def test_no_subject_leakage(tmp_path):
+    json_path = make_bids_dataset(tmp_path / "bids", n_subjects=8,
+                                  shape_zyx=(8, 8, 8), seed=1)
+    structure = load_structure(json_path)
+    subs = {s: set(structure[s].keys()) for s in structure}
+    assert not (subs["train"] & subs["validation"])
+    assert not (subs["train"] & subs["test"])
+    assert not (subs["validation"] & subs["test"])
+
+
+def test_cartesian_pairing():
+    structure_split = {
+        "sub-1": {
+            "ses-1": {"t1w": ["a1", "a2"], "t2w": ["b1", "b2", "b3"], "meta": {}},
+            "ses-2": {"t1w": ["c1"], "t2w": [], "meta": {}},  # filtered out
+        },
+        "sub-2": {"ses-1": {"t1w": [], "t2w": ["d1"], "meta": {}}},  # filtered
+    }
+    pairs = structure_to_pairs(structure_split)
+    assert len(pairs) == 6  # 2 x 3
+    assert {"t1w": "a1", "t2w": "b3"} in pairs
+    assert all(set(p.keys()) == {"t1w", "t2w"} for p in pairs)
+
+
+def test_count_breakdown(tmp_path):
+    json_path = make_bids_dataset(tmp_path / "bids", n_subjects=4,
+                                  shape_zyx=(8, 8, 8), seed=2)
+    structure = load_structure(json_path)
+    counts = count_breakdown(structure)
+    total_pairs = sum(c["pairs"] for c in counts.values())
+    all_pairs = split_pairs(structure)
+    assert total_pairs == sum(len(v) for v in all_pairs.values()) == 4
+
+
+def test_split_fractions(tmp_path):
+    root = tmp_path / "bids"
+    for i in range(10):
+        d = root / f"sub-{i:03d}" / "ses-01"
+        d.mkdir(parents=True)
+        (d / f"x_T1w.nii.gz").write_bytes(b"")
+        (d / f"x_T2w.nii.gz").write_bytes(b"")
+    s = generate_structure(str(root), splits=(0.8, 0.1, 0.1), seed=3)
+    assert len(s["train"]) == 8 and len(s["validation"]) == 1 and len(s["test"]) == 1

@@ -1,0 +1,145 @@
+"""Train-step semantics: alternating G/D updates, detach, BN-stat threading,
+loss descent on a toy problem — reproducing the Lightning two-optimizer loop
+(GAN_final.py:250-308) as one jit step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minipig_gan_tpu.config import (
+    Config,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    PatchConfig,
+    TrainConfig,
+)
+from minipig_gan_tpu.train import GANTrainer
+
+
+def tiny_cfg(mode="gan", **train_kw):
+    return Config(
+        generator=GeneratorConfig(n_unet_blocks=2, channels=(4, 8), strides=(2,)),
+        discriminator=DiscriminatorConfig(features=(4, 4, 4, 4),
+                                          patch_features=(4, 4, 4, 4), patch_hidden=4),
+        patch=PatchConfig(roi_size=(12, 12, 12), num_samples=4),
+        train=TrainConfig(compute_dtype="float32", **train_kw, mode=mode),
+    )
+
+
+def make_batch(spatial=32, b=2, seed=0):
+    rs = np.random.RandomState(seed)
+    t1 = np.tanh(rs.randn(b, spatial, spatial, spatial, 1)).astype(np.float32)
+    # target correlated with input (translation task is learnable)
+    t2 = np.clip(0.8 * t1 + 0.1, -1, 1).astype(np.float32)
+    return {"t1w": jnp.asarray(t1), "t2w": jnp.asarray(t2)}
+
+
+def test_gan_step_runs_and_updates_both_networks():
+    cfg = tiny_cfg("gan")
+    tr = GANTrainer(cfg)
+    batch = make_batch()
+    state = tr.init(jax.random.PRNGKey(0), batch)
+    step = jax.jit(tr.train_step)
+    new_state, metrics = step(state, batch)
+
+    for k in ("g_adv_loss", "g_recon_loss", "g_loss", "d_loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # both param trees changed
+    g_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.g_params, new_state.g_params)
+    d_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.d_params, new_state.d_params)
+    assert max(jax.tree.leaves(g_diff)) > 0
+    assert max(jax.tree.leaves(d_diff)) > 0
+    # BN running stats moved for both nets
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.g_stats, new_state.g_stats))) > 0
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.d_stats, new_state.d_stats))) > 0
+    assert int(new_state.step) == 1
+
+
+def test_generator_only_mode_decreases_l1():
+    cfg = tiny_cfg("generator_only", g_lr=1e-3)
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(1), batch)
+    assert state.d_params is None
+    step = jax.jit(tr.train_step)
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["g_loss"])
+    last = float(metrics["g_loss"])
+    assert last < first * 0.7, (first, last)
+
+
+def test_patch_mode_step():
+    cfg = tiny_cfg("patch")
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(2), batch)
+    step = jax.jit(tr.train_step)
+    _, metrics = step(state, batch)
+    assert "g_perceptual_loss" in metrics
+    assert np.isfinite(float(metrics["g_perceptual_loss"]))
+
+
+def test_patch_mode_no_perceptual_ablation():
+    """GAN2.py twin: use_perceptual=False drops the loss term."""
+    cfg = tiny_cfg("patch")
+    cfg = Config(
+        generator=cfg.generator,
+        discriminator=DiscriminatorConfig(
+            features=(4, 4, 4, 4), patch_features=(4, 4, 4, 4),
+            patch_hidden=4, use_perceptual=False),
+        patch=cfg.patch, train=cfg.train,
+    )
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(3), batch)
+    _, metrics = jax.jit(tr.train_step)(state, batch)
+    assert "g_perceptual_loss" not in metrics
+
+
+def test_d_step_does_not_backprop_into_g():
+    """detach semantics (GAN_final.py:289-291): the D sub-step must not
+    influence the G update. The D-step loss, viewed as a function of the
+    generator params through the detached G forward, must have exactly zero
+    gradient."""
+    import minipig_gan_tpu.train.losses as L
+
+    cfg = tiny_cfg("gan")
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(4), batch)
+
+    def d_loss_wrt_g(g_params):
+        gen2, _ = tr.generator.apply(
+            {"params": g_params, "batch_stats": state.g_stats},
+            batch["t1w"], train=True, mutable=["batch_stats"])
+        gen2 = jax.lax.stop_gradient(gen2)
+        fake_logits, _ = tr.discriminator.apply(
+            {"params": state.d_params, "batch_stats": state.d_stats},
+            gen2, train=True, mutable=["batch_stats"])
+        return L.bce_with_logits(fake_logits, 0.0)
+
+    grads = jax.grad(d_loss_wrt_g)(state.g_params)
+    assert max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)) == 0.0
+
+
+def test_gan_training_descends():
+    """Few steps of adversarial training on the toy task: recon loss falls."""
+    cfg = tiny_cfg("gan", g_lr=1e-3, d_lr=1e-4)
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(5), batch)
+    step = jax.jit(tr.train_step)
+    recons = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        recons.append(float(metrics["g_recon_loss"]))
+    assert recons[-1] < recons[0], recons[:3] + recons[-3:]
