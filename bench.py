@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark: canonical T1->T2 GAN train throughput on one TPU chip.
+
+Measures the full alternating GAN train step (6-block CasNet generator +
+global discriminator, 128^3 volumes, bf16 compute — the canonical
+GAN_final.py configuration) and prints ONE JSON line:
+  {"metric": "train_slices_per_sec_per_chip", "value": N,
+   "unit": "slices/s/chip", "vs_baseline": N, ...detail fields}
+
+"slices/sec" counts 128 axial slices per volume (the BASELINE.json
+north-star unit). The reference publishes no throughput numbers
+(BASELINE.md: "No throughput numbers are published anywhere"), so
+vs_baseline is reported as 1.0 by definition against an absent baseline;
+detail fields carry ms/step, vols/s and the inference rate.
+
+Env knobs: BENCH_BATCH (default 4, auto-falls back 2/1 on OOM),
+BENCH_STEPS (default 10), BENCH_SPATIAL (default 128), BENCH_MODE
+(gan|generator_only, default gan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path.home() / ".cache" / "jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minipig_gan_tpu.config import Config, TrainConfig
+    from minipig_gan_tpu.train import GANTrainer
+
+    spatial = int(os.environ.get("BENCH_SPATIAL", "128"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    mode = os.environ.get("BENCH_MODE", "gan")
+    batch_candidates = [int(os.environ.get("BENCH_BATCH", "4")), 2, 1]
+
+    rs = np.random.RandomState(0)
+
+    def make_batch(b):
+        t1 = np.tanh(rs.randn(b, spatial, spatial, spatial, 1)).astype(np.float32)
+        t2 = np.clip(0.8 * t1 + 0.1, -1, 1).astype(np.float32)
+        return {"t1w": jnp.asarray(t1), "t2w": jnp.asarray(t2)}
+
+    result = None
+    last_err = None
+    for batch_size in dict.fromkeys(batch_candidates):
+        try:
+            cfg = Config(train=TrainConfig(mode=mode, compute_dtype="bfloat16",
+                                           batch_size=batch_size))
+            tr = GANTrainer(cfg)
+            batch = make_batch(batch_size)
+            t_init0 = time.time()
+            state = tr.init_jit(jax.random.PRNGKey(0), batch)
+            jax.block_until_ready(jax.tree.leaves(state.g_params)[0])
+            init_s = time.time() - t_init0
+
+            step = jax.jit(tr.train_step, donate_argnums=0)
+            t_c0 = time.time()
+            state, metrics = step(state, batch)
+            jax.block_until_ready(metrics["g_loss"])
+            compile_s = time.time() - t_c0
+            # warmup one more, then measure
+            state, metrics = step(state, batch)
+            jax.block_until_ready(metrics["g_loss"])
+            t0 = time.time()
+            for _ in range(n_steps):
+                state, metrics = step(state, batch)
+            jax.block_until_ready(metrics["g_loss"])
+            dt = (time.time() - t0) / n_steps
+
+            # inference throughput (eval-mode generator forward)
+            gen = jax.jit(tr.generate)
+            out = gen(state, batch["t1w"])
+            jax.block_until_ready(out)
+            t1_ = time.time()
+            for _ in range(n_steps):
+                out = gen(state, batch["t1w"])
+            jax.block_until_ready(out)
+            inf_dt = (time.time() - t1_) / n_steps
+
+            result = {
+                "metric": "train_slices_per_sec_per_chip",
+                "value": round(batch_size * spatial / dt, 2),
+                "unit": "slices/s/chip",
+                "vs_baseline": 1.0,
+                "train_ms_per_step": round(dt * 1e3, 1),
+                "train_vols_per_s": round(batch_size / dt, 3),
+                "infer_vols_per_s": round(batch_size / inf_dt, 3),
+                "batch_size": batch_size,
+                "spatial": spatial,
+                "mode": mode,
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+                "device": str(jax.devices()[0]),
+                "g_loss": float(metrics["g_loss"]),
+            }
+            break
+        except Exception as e:  # OOM -> try smaller batch
+            last_err = e
+            msg = str(e).lower()
+            if "resource_exhausted" in msg or "out of memory" in msg:
+                print(f"# batch {batch_size} OOM, retrying smaller", file=sys.stderr)
+                continue
+            raise
+    if result is None:
+        raise SystemExit(f"bench failed: {last_err}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Inference + evaluation CLI (inferrence.py / metrics.py /
+psnr_ssim_metric.py replacement — one pass, on-device metrics)."""
+
+from __future__ import annotations
+
+import argparse
+
+from .common import add_config_args, build_config, setup_jax_cache
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_args(parser)
+    parser.add_argument("--ckpt", required=True, help="checkpoint directory")
+    parser.add_argument("--data", default=None, help="structure.json override")
+    parser.add_argument("--out-dir", default=None)
+    parser.add_argument("--split", default="test",
+                        choices=["train", "validation", "test"])
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--no-save", action="store_true",
+                        help="metrics only, skip NIfTI outputs")
+    args = parser.parse_args(argv)
+
+    setup_jax_cache()
+    cfg = None
+    if args.config or args.set:
+        cfg = build_config(args)
+    from ..eval.inference import run_inference
+
+    run_inference(
+        args.ckpt,
+        structure_json=args.data,
+        out_dir=args.out_dir,
+        cfg=cfg,
+        limit=args.limit,
+        save_volumes=not args.no_save,
+        split=args.split,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Training CLI — the `python code/GAN/GAN.py` entry the reference README
+promises (README.md:11; canonical trainer GAN_final.py:440-499).
+
+Examples:
+  python -m minipig_gan_tpu.cli.train --data /path/structure.json \
+      --log-dir runs/exp1
+  python -m minipig_gan_tpu.cli.train --synthetic --steps 50 \
+      --set generator.n_unet_blocks=2 --set train.batch_size=2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .common import add_config_args, build_config, setup_jax_cache
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_args(parser)
+    parser.add_argument("--data", default=None, help="structure.json path")
+    parser.add_argument("--log-dir", default=None)
+    parser.add_argument("--steps", type=int, default=None, help="max train steps")
+    parser.add_argument("--mode", default=None,
+                        choices=["gan", "generator_only", "patch"],
+                        help="training mode (config 1/2/3 in SURVEY.md §7)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on the synthetic fixture dataset")
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    setup_jax_cache()
+    cfg = build_config(
+        args,
+        **{
+            "data.structure_json": "" if args.synthetic else args.data,
+            "log_dir": args.log_dir,
+            "train.max_steps": args.steps,
+            "train.mode": args.mode,
+        },
+    )
+    from ..train.loop import train
+
+    train(cfg, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

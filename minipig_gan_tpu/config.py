@@ -133,15 +133,17 @@ def to_json(cfg: Config) -> str:
 
 
 def _from_dict(cls, d: Dict[str, Any]):
+    import typing
+
+    hints = typing.get_type_hints(cls)  # resolves PEP-563 string annotations
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[f.name] = _from_dict(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _from_dict(ftype, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

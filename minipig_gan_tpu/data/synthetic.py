@@ -32,12 +32,21 @@ _COMPARTMENTS = (
 
 def synthetic_pair(
     shape_zyx: Tuple[int, int, int] = (48, 56, 44),
-    spacing: Sequence[float] = (1.2, 1.0, 1.1),
+    spacing: Optional[Sequence[float]] = None,
     seed: int = 0,
     rotate: bool = False,
+    extent_mm: float = 220.0,
 ) -> Tuple[np.ndarray, np.ndarray, ImageMeta]:
-    """Return (t1w, t2w, meta) with shared anatomy, differing contrast."""
+    """Return (t1w, t2w, meta) with shared anatomy, differing contrast.
+
+    Default spacing is derived from `extent_mm` so the phantom occupies a
+    head-realistic physical extent — the human canonical 256mm resampling grid
+    (transforms.py:140-147) then actually samples it."""
     rng = np.random.RandomState(seed)
+    if spacing is None:
+        jitter = rng.uniform(0.85, 1.1, 3)
+        # spacing is ordered (x, y, z) like ImageMeta
+        spacing = [extent_mm * j / s for j, s in zip(jitter, shape_zyx[::-1])]
     z, y, x = shape_zyx
     zz, yy, xx = np.meshgrid(
         np.linspace(-1, 1, z), np.linspace(-1, 1, y), np.linspace(-1, 1, x),

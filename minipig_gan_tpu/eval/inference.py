@@ -1,0 +1,163 @@
+"""Human test-set inference + on-device evaluation.
+
+Reproduces the reference's eval stack in one pass (the reference spreads it
+over three scripts that each redo the preprocessing):
+  * /root/reference/code/GAN/inferrence.py — load checkpoint, preprocess test
+    pairs, generator forward under no-grad, save T1/T2gt/T2gen as [0,255]
+    rounded NIfTIs, print per-case MAE;
+  * code/GAN/metrics.py:142-223 — per-case MSE triplets {t2gen_vs_t2gt,
+    t2gt_vs_t2gt, t1gt_vs_t2gt} -> mean_squared_error.json;
+  * code/GAN/psnr_ssim_metric.py:82-106 — PSNR/SSIM (data_range=256)
+    averages for T2gen and the T1 identity baseline;
+  * code/eval/*.xml — per-pair mutual information.
+
+All metrics run jit-compiled on device from a single preprocessing pass.
+Intensity convention for metrics/saves matches the reference: each volume is
+INDEPENDENTLY min/max rescaled to [0, 255] and rounded
+(ScaleIntensityRangePercentilesd(0, 100, 0, 255, clip) + round,
+inferrence.py:150-162,188-199).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.nifti import write_nifti
+from ..data.pipeline import PairPreprocessor
+from ..data.structure import load_structure, structure_to_pairs
+from ..ops.metrics import evaluation_suite
+from ..ops.percentile import rescale_to_uint8_range
+from ..train.checkpoints import load_config, restore_state
+from ..train.gan import GANTrainer, GANTrainState
+
+
+def load_trainer_state(ckpt_path, cfg: Optional[Config] = None
+                       ) -> Tuple[GANTrainer, GANTrainState]:
+    """Rebuild the trainer from the checkpoint's persisted config (the
+    hparams.yaml analogue, inferrence.py:97-106) and restore the full state."""
+    ckpt_path = Path(ckpt_path)
+    if cfg is None:
+        cfg = load_config(ckpt_path)
+    trainer = GANTrainer(cfg)
+    spatial = tuple(cfg.data.spatial_size)
+    dummy = {
+        "t1w": jnp.zeros((cfg.train.batch_size, *spatial, 1), jnp.float32),
+        "t2w": jnp.zeros((cfg.train.batch_size, *spatial, 1), jnp.float32),
+    }
+    abstract = jax.eval_shape(trainer.init, jax.random.PRNGKey(0), dummy)
+    state = restore_state(ckpt_path, abstract)
+    return trainer, state
+
+
+def _save_case(out_dir: Path, src_path: str, postfix: str, vol_zyx: np.ndarray,
+               grid_meta) -> str:
+    """SaveITKImaged naming (transforms2.py:98-117):
+    {out_dir}/{basename}_{postfix}.{ext}."""
+    name = Path(src_path).name
+    base = name.split(".")[0]
+    ext = ".".join(name.split(".")[-2:]) if name.endswith(".gz") else name.split(".")[-1]
+    out = out_dir / f"{base}_{postfix}.{ext}"
+    write_nifti(out, vol_zyx, grid_meta)
+    return str(out)
+
+
+def run_inference(
+    ckpt_path,
+    structure_json: Optional[str] = None,
+    out_dir: Optional[str] = None,
+    cfg: Optional[Config] = None,
+    limit: Optional[int] = None,
+    save_volumes: bool = True,
+    split: str = "test",
+) -> Dict:
+    """Run the full test-set inference + metric report. Returns the report
+    dict (also written to {out_dir}/evaluation.json + the two
+    reference-format files mean_absolute_error.json / mean_squared_error.json).
+    """
+    trainer, state = load_trainer_state(ckpt_path, cfg)
+    cfg = cfg or load_config(Path(ckpt_path))
+    structure_json = structure_json or cfg.data.structure_json
+    pairs = structure_to_pairs(load_structure(structure_json).get(split, {}))
+    if limit:
+        pairs = pairs[:limit]
+    if not pairs:
+        raise ValueError(f"no {split} pairs in {structure_json}")
+    out_dir = Path(out_dir or Path(cfg.log_dir) / "inference")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    pre = PairPreprocessor(cfg.data)
+    generate = jax.jit(trainer.generate)
+
+    @jax.jit
+    def eval_case(t2_gen_n, t2_gt_n, t1_n):
+        # independent [0,255] rescale + round, then the full metric suite
+        gen = rescale_to_uint8_range(t2_gen_n)
+        gt = rescale_to_uint8_range(t2_gt_n)
+        t1 = rescale_to_uint8_range(t1_n)
+        return evaluation_suite(gen, gt, t1), (gen, gt, t1)
+
+    per_case: Dict[str, Dict[str, float]] = {}
+    for i, pair in enumerate(pairs):
+        item = pre(pair, keep_meta=True)
+        t1 = jnp.asarray(item["t1w"][None])  # (1, D, H, W, 1)
+        t2_gen = generate(state, t1)[0, ..., 0]
+        t2_gt = jnp.asarray(item["t2w"][..., 0])
+        metrics, (gen_u8, gt_u8, t1_u8) = eval_case(
+            t2_gen, t2_gt, jnp.asarray(item["t1w"][..., 0])
+        )
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        case_key = Path(pair["t1w"]).name.split(".")[0]
+        per_case[case_key] = metrics
+        print(f"[{i+1}/{len(pairs)}] {case_key}: "
+              f"mae={metrics['mae_t2gen_vs_t2gt']:.3f} "
+              f"mse={metrics['mse_t2gen_vs_t2gt']:.2f} "
+              f"psnr={metrics['psnr_t2gen_vs_t2gt']:.2f} "
+              f"ssim={metrics['ssim_t2gen_vs_t2gt']:.4f}")
+        if save_volumes:
+            grid_meta = item["grid_meta"]
+            _save_case(out_dir, pair["t1w"], "", np.asarray(t1_u8), grid_meta)
+            _save_case(out_dir, pair["t1w"], "t2_inferred", np.asarray(gen_u8),
+                       grid_meta)
+            _save_case(out_dir, pair["t2w"], "t2_truth", np.asarray(gt_u8),
+                       grid_meta)
+
+    report = aggregate_report(per_case)
+    (out_dir / "evaluation.json").write_text(json.dumps(
+        {"per_case": per_case, "aggregate": report}, indent=2))
+    # reference-format files (plot_mae.py / average_mse.py consume these)
+    mae_json = {k: v["mae_t2gen_vs_t2gt"] for k, v in per_case.items()}
+    (out_dir / "mean_absolute_error.json").write_text(json.dumps(mae_json))
+    mse_json = {
+        k: {
+            "t2gen_vs_t2gt": v["mse_t2gen_vs_t2gt"],
+            "t2gt_vs_t2gt": 0.0,
+            "t1gt_vs_t2gt": v["mse_t1gt_vs_t2gt"],
+        }
+        for k, v in per_case.items()
+    }
+    (out_dir / "mean_squared_error.json").write_text(json.dumps(mse_json))
+    print(json.dumps(report, indent=2))
+    return {"per_case": per_case, "aggregate": report, "out_dir": str(out_dir)}
+
+
+def aggregate_report(per_case: Dict[str, Dict[str, float]]) -> Dict[str, float]:
+    """Mean over cases + gen/identity ratios x100 (plot_mae.py:10-21,
+    average_mse.py:10-21 semantics; lower ratio = better)."""
+    if not per_case:
+        return {}
+    keys = next(iter(per_case.values())).keys()
+    agg = {k: float(np.mean([c[k] for c in per_case.values()])) for k in keys}
+    out = dict(agg)
+    for m in ("mae", "mse"):
+        gen = agg.get(f"{m}_t2gen_vs_t2gt")
+        ident = agg.get(f"{m}_t1gt_vs_t2gt")
+        if gen is not None and ident:
+            out[f"{m}_ratio_pct"] = 100.0 * gen / ident
+    return out

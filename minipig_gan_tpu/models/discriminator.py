@@ -39,10 +39,34 @@ from flax import linen as nn
 from .layers import BatchNorm3d, Conv3d, Dense, PReLU, leaky_relu
 
 
+class _DiscBlock(nn.Module):
+    """conv -> BN -> LeakyReLU(0.2), one reference discriminator block."""
+
+    features: int
+    kernel: int
+    stride: int
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = Conv3d(self.features, kernel_size=self.kernel, strides=self.stride,
+                   padding=0, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm3d(axis_name=self.bn_axis_name, name="norm")(x, train)
+        return leaky_relu(x, 0.2)
+
+
 class GlobalDiscriminator(nn.Module):
-    """Whole-volume discriminator (GAN_final.py:159-209). Returns logits (N, 1)."""
+    """Whole-volume discriminator (GAN_final.py:159-209). Returns logits (N, 1).
+
+    `remat=True` rematerializes each block in the backward pass — at 128^3 the
+    first two stride-1 blocks hold 64ch@126^3 / 128ch@124^3 activations
+    (2-4 GB per batch of 4 in bf16), so keeping only block BOUNDARIES live is
+    what fits whole-volume GAN training in one chip's HBM.
+    """
 
     features: Tuple[int, ...] = (64, 128, 256, 256)
+    remat: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -54,11 +78,16 @@ class GlobalDiscriminator(nn.Module):
             (self.features[2], 4, 2),
             (self.features[3], 4, 2),
         ]
+        block_cls = (
+            nn.remat(_DiscBlock, prevent_cse=False, static_argnums=(2,))
+            if self.remat
+            else _DiscBlock
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (f, k, s) in enumerate(specs):
-            x = Conv3d(f, kernel_size=k, strides=s, padding=0,
-                       dtype=self.dtype, name=f"conv{i}")(x)
-            x = BatchNorm3d(axis_name=self.bn_axis_name, name=f"norm{i}")(x, train)
-            x = leaky_relu(x, 0.2)
+            x = block_cls(f, k, s, bn_axis_name=self.bn_axis_name,
+                          dtype=self.dtype, name=f"block{i}")(x, train)
         # Flatten. torch flattens NCDHW as (C, D, H, W) row-major; our layout is
         # NDHWC. The Linear head is ours to train, so the permutation is only a
         # weight-ordering convention — keep NDHWC order (TPU-friendly layout).

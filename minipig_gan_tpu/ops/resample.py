@@ -216,6 +216,51 @@ def trilinear_gather(
     return jnp.where(inside, out, 0.0)
 
 
+def resample_numpy(
+    vol: np.ndarray, input_meta: ImageMeta, grid: GridSpec
+) -> np.ndarray:
+    """Host-side (numpy) resample for the cache-build path, where input shapes
+    vary per scan and a per-shape device compile would be wasted. Same math as
+    the device paths; the separable case is three einsums, the general case a
+    vectorized gather. The optional C++ codec (data/native.py) accelerates
+    this further for production cache builds."""
+    m, t = resample_affine(input_meta, grid)
+    vol = np.asarray(vol, np.float32)
+    zo, yo, xo = grid.size_zyx
+    if _is_diagonal(m):
+        nz, ny, nx = vol.shape
+        wx = _axis_weights(xo, nx, m[0, 0], t[0])
+        wy = _axis_weights(yo, ny, m[1, 1], t[1])
+        wz = _axis_weights(zo, nz, m[2, 2], t[2])
+        v = np.einsum("ax,zyx->zya", wx, vol)
+        v = np.einsum("by,zya->zba", wy, v)
+        return np.einsum("cz,zba->cba", wz, v)
+    zi, yi, xi = np.meshgrid(np.arange(zo), np.arange(yo), np.arange(xo),
+                             indexing="ij")
+    cx = m[0, 0] * xi + m[0, 1] * yi + m[0, 2] * zi + t[0]
+    cy = m[1, 0] * xi + m[1, 1] * yi + m[1, 2] * zi + t[1]
+    cz = m[2, 0] * xi + m[2, 1] * yi + m[2, 2] * zi + t[2]
+    nz, ny, nx = vol.shape
+    inside = ((cx >= 0) & (cx <= nx - 1) & (cy >= 0) & (cy <= ny - 1)
+              & (cz >= 0) & (cz <= nz - 1))
+    x0 = np.clip(np.floor(cx), 0, nx - 1).astype(np.int64)
+    y0 = np.clip(np.floor(cy), 0, ny - 1).astype(np.int64)
+    z0 = np.clip(np.floor(cz), 0, nz - 1).astype(np.int64)
+    fx, fy, fz = (cx - x0).astype(np.float32), (cy - y0).astype(np.float32), (cz - z0).astype(np.float32)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
+    z1 = np.minimum(z0 + 1, nz - 1)
+    g = lambda zz, yy, xx: vol[zz, yy, xx]
+    out = (
+        (g(z0, y0, x0) * (1 - fx) + g(z0, y0, x1) * fx) * (1 - fy)
+        + (g(z0, y1, x0) * (1 - fx) + g(z0, y1, x1) * fx) * fy
+    ) * (1 - fz) + (
+        (g(z1, y0, x0) * (1 - fx) + g(z1, y0, x1) * fx) * (1 - fy)
+        + (g(z1, y1, x0) * (1 - fx) + g(z1, y1, x1) * fx) * fy
+    ) * fz
+    return np.where(inside, out, 0.0).astype(np.float32)
+
+
 def resample(
     vol: np.ndarray | jax.Array, input_meta: ImageMeta, grid: GridSpec
 ) -> jax.Array:

@@ -115,6 +115,12 @@ class GANTrainer:
 
     # -- init ---------------------------------------------------------------
 
+    def init_jit(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]) -> GANTrainState:
+        """jit-compiled init — ONE device program instead of hundreds of tiny
+        eager ops (each eager op costs a full RPC on remote-compile backends;
+        measured 40s+ eager vs <5s jitted for the canonical models)."""
+        return jax.jit(self.init)(rng, sample_batch)
+
     def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]) -> GANTrainState:
         t1 = sample_batch["t1w"]
         g_rng, d_rng, s_rng = jax.random.split(rng, 3)

@@ -1,0 +1,142 @@
+"""Training loop: data -> mesh -> jit step -> logging/checkpoints.
+
+The orchestration layer replacing the reference's `pl.Trainer(...).fit(model,
+data)` (/root/reference/code/GAN/GAN_final.py:474-492): epoch loop over the
+cached dataset with shuffling, the single-jit alternating GAN step per batch,
+per-step metric logging (g_adv/g_recon/g_loss/d_loss, GAN_final.py:266-295),
+three loss-monitored top-k checkpoints (:448-472), per-epoch generated-volume
+snapshots to TensorBoard (:310-317), and resume-from-last.
+
+TPU specifics: train batches are padded/dropped to a single static shape (one
+compiled program for the whole run), device transfer overlaps compute through
+the double-buffered prefetcher, and the step function is jit-donated so the
+train state never doubles in HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import (
+    BatchLoader,
+    CachedDataset,
+    DevicePrefetcher,
+    PairPreprocessor,
+)
+from ..data.structure import load_structure, split_pairs
+from ..data.synthetic import make_bids_dataset
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.logging_util import MetricLogger
+from ..utils.profiling import StepTimer
+from .checkpoints import TopKCheckpointManager
+from .gan import GANTrainer, GANTrainState
+
+
+def build_datasets(cfg: Config, log_dir: Path):
+    """structure.json -> cached train/val/test datasets. With no
+    structure_json configured, generates a synthetic BIDS fixture
+    (data/synthetic.py) so the end-to-end loop runs anywhere."""
+    structure_json = cfg.data.structure_json
+    if not structure_json:
+        n = cfg.data.synthetic_num_pairs or 8
+        structure_json = make_bids_dataset(
+            log_dir / "synthetic_data", n_subjects=n,
+            shape_zyx=(
+                max(16, cfg.data.spatial_size[0] // 2),
+                max(16, cfg.data.spatial_size[1] // 2),
+                max(16, cfg.data.spatial_size[2] // 2),
+            ),
+            seed=cfg.train.seed,
+        )
+    structure = load_structure(structure_json)
+    pairs = split_pairs(structure)
+    pre = PairPreprocessor(cfg.data)
+    train_ds = CachedDataset(pairs["train"], pre, cfg.data.cache_num,
+                             cfg.data.num_workers)
+    val_ds = CachedDataset(pairs["validation"], pre, min(10, cfg.data.cache_num),
+                           max(2, cfg.data.num_workers // 4))
+    test_ds = CachedDataset(pairs["test"], pre, min(10, cfg.data.cache_num),
+                            max(2, cfg.data.num_workers // 4))
+    return train_ds, val_ds, test_ds
+
+
+def train(cfg: Config, resume: bool = True,
+          max_steps: Optional[int] = None) -> Tuple[GANTrainState, TopKCheckpointManager]:
+    log_dir = Path(cfg.log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(log_dir, echo_every=cfg.train.log_every)
+    mesh = make_mesh(cfg.mesh)
+    trainer = GANTrainer(cfg)
+    max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+
+    train_ds, val_ds, test_ds = build_datasets(cfg, log_dir)
+    if len(train_ds) == 0:
+        raise ValueError("no training pairs found (check structure.json)")
+    loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=cfg.data.shuffle,
+                         seed=cfg.train.seed, drop_last=True)
+
+    # example volumes for the per-epoch snapshot (reference uses first test and
+    # first train batch, GAN_final.py:476-478)
+    example_test = test_ds[0]["t1w"][None] if len(test_ds) else train_ds[0]["t1w"][None]
+    example_train = train_ds[0]["t1w"][None]
+
+    sample = next(iter(loader.epoch()))
+    state = trainer.init_jit(jax.random.PRNGKey(cfg.train.seed),
+                             {k: jnp.asarray(v) for k, v in sample.items()})
+    ckpts = TopKCheckpointManager(log_dir / "checkpoints", cfg)
+    if resume and ckpts.latest_for_resume():
+        from .checkpoints import restore_state
+
+        state = restore_state(ckpts.latest_for_resume(), jax.eval_shape(lambda: state))
+        print(f"resumed from {ckpts.latest_for_resume()} at step {int(state.step)}")
+    state = replicate(mesh, state)
+
+    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    timer = StepTimer()
+    generate = jax.jit(trainer.generate)
+
+    step = int(jax.device_get(state.step))
+    epoch = 0
+    metrics: Dict[str, jnp.ndarray] = {}
+    while step < max_steps:
+        batches = DevicePrefetcher(
+            loader.epoch(), lambda b: shard_batch(mesh, b), depth=cfg.data.prefetch
+        )
+        for batch in batches:
+            with timer.step():
+                state, metrics = step_fn(state, batch)
+                metrics = jax.device_get(metrics)
+            step += 1
+            logger.log_metrics(metrics, step)
+            if step % cfg.train.checkpoint_every == 0:
+                host_state = jax.device_get(state)
+                ckpts.maybe_save(host_state, metrics, step)
+                ckpts.save_last(host_state, step)
+            if step >= max_steps:
+                break
+        epoch += 1
+        if cfg.train.image_log_every_epochs and epoch % cfg.train.image_log_every_epochs == 0:
+            gen_test = np.asarray(jax.device_get(
+                generate(state, jnp.asarray(example_test))))[0]
+            gen_train = np.asarray(jax.device_get(
+                generate(state, jnp.asarray(example_train))))[0]
+            logger.log_volume("generated_t2w_test", gen_test, step)
+            logger.log_volume("generated_t2w_train", gen_train, step)
+
+    host_state = jax.device_get(state)
+    if metrics:
+        ckpts.maybe_save(host_state, {k: float(v) for k, v in metrics.items()},
+                         step)
+    ckpts.save_last(host_state, step)
+    report = timer.report(items_per_step=cfg.train.batch_size)
+    print(f"training done at step {step}: "
+          f"{report['items_per_s']:.2f} vols/s ({report['mean_s']*1e3:.0f} ms/step)")
+    logger.close()
+    return host_state, ckpts

@@ -125,8 +125,8 @@ def test_global_discriminator_parity():
     convs = [tm.model_conv[i] for i in (0, 3, 6, 9)]
     bns = [tm.model_conv[i] for i in (1, 4, 7, 10)]
     for i in range(4):
-        torch_ref.copy_conv(convs[i], p[f"conv{i}"])
-        torch_ref.copy_bn(bns[i], p[f"norm{i}"])
+        torch_ref.copy_conv(convs[i], p[f"block{i}"]["conv"])
+        torch_ref.copy_bn(bns[i], p[f"block{i}"]["norm"])
     torch_ref.copy_dense(tm.head, p["head"])
     tm.train()
     with torch.no_grad():

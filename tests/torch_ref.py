@@ -279,8 +279,10 @@ def copy_global_discriminator(tm: GlobalDiscriminator, params: dict,
     convs = [tm.model_conv[i] for i in (0, 3, 6, 9)]
     bns = [tm.model_conv[i] for i in (1, 4, 7, 10)]
     for i in range(4):
-        copy_conv(convs[i], params[f"conv{i}"])
-        copy_bn(bns[i], params[f"norm{i}"], s.get(f"norm{i}"))
+        blk = params[f"block{i}"]
+        sblk = (s.get(f"block{i}") or {})
+        copy_conv(convs[i], blk["conv"])
+        copy_bn(bns[i], blk["norm"], sblk.get("norm"))
     copy_dense(tm.head, params["head"])
 
 
