@@ -52,12 +52,41 @@ class PairPreprocessor:
     thread through (transforms.py:30-44) for later NIfTI-out."""
 
     def __init__(self, cfg: DataConfig, grid: Optional[GridSpec] = None,
-                 reader: Callable = read_nifti):
+                 reader: Optional[Callable] = None, use_native: bool = True):
         self.cfg = cfg
         self.grid = grid or human_canonical_grid(
             tuple(cfg.spatial_size), cfg.fov_mm
         )
+        self._native = False
+        if reader is None:
+            if use_native:
+                from . import native
+
+                if native.native_available():
+                    reader = native.read_nifti_native
+                    self._native = True
+            reader = reader or read_nifti
         self.reader = reader
+
+    def _resample(self, vol, meta):
+        if self._native:
+            from . import native
+
+            return native.resample_native(vol, meta, self.grid)
+        return resample_numpy(vol, meta, self.grid)
+
+    def _normalize(self, vol):
+        if self._native:
+            from . import native
+
+            return native.percentile_scale_native(
+                vol, self.cfg.lower_percentile, self.cfg.upper_percentile,
+                self.cfg.b_min, self.cfg.b_max,
+            )
+        return percentile_normalize_numpy(
+            vol, self.cfg.lower_percentile, self.cfg.upper_percentile,
+            self.cfg.b_min, self.cfg.b_max,
+        )
 
     def __call__(self, pair: Dict[str, str], keep_meta: bool = False) -> Dict:
         out: Dict = {}
@@ -65,11 +94,8 @@ class PairPreprocessor:
             if key not in pair:
                 continue
             vol, meta = self.reader(pair[key])
-            res = resample_numpy(vol, meta, self.grid)
-            norm = percentile_normalize_numpy(
-                res, self.cfg.lower_percentile, self.cfg.upper_percentile,
-                self.cfg.b_min, self.cfg.b_max,
-            )
+            res = self._resample(vol, meta)
+            norm = self._normalize(res)
             out[key] = norm[..., None]  # AddChanneld -> (D, H, W, 1)
             if keep_meta:
                 out[f"{key}_meta"] = meta
@@ -137,6 +163,33 @@ class BatchLoader:
                 for k in items[0]
                 if isinstance(items[0][k], np.ndarray)
             }
+
+
+class WrapAroundLoader:
+    """Infinite wrap-around batcher — the reference's hand-rolled
+    `CustomDataLoader` (test_runs/GAN.py:204-233): sequential batches that
+    reset to index 0 when fewer than batch_size items remain, so every batch
+    is full-size (its workaround for drop-last). Useful for steady-state
+    benchmarking and fixed-shape step counts."""
+
+    def __init__(self, dataset: CachedDataset, batch_size: int):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self._idx = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        if self._idx + self.batch_size > len(self.dataset):
+            self._idx = 0
+        items = [self.dataset[self._idx + i] for i in range(self.batch_size)]
+        self._idx += self.batch_size
+        return {
+            k: np.stack([it[k] for it in items])
+            for k in items[0]
+            if isinstance(items[0][k], np.ndarray)
+        }
 
 
 class DevicePrefetcher:

@@ -1,0 +1,195 @@
+"""Reporting & visual QA: metric aggregation plots + HTML review gallery.
+
+Replaces the reference's reporting layer (SURVEY.md L5):
+  * MAE/MSE aggregation + ratio + boxplot —
+    /root/reference/code/metrics/plot_mae.py:10-21, average_mse.py:10-21,
+    mae_plot.ipynb / mae_boxplot.png;
+  * static HTML side-by-side review page — code/metadata/review_html.py:8-42,
+    review_minipig.html + styles.css;
+  * snapshot automation (the reference drives 3D Slicer,
+    code/metadata/slicer_minipig_snapshot.py:7-36) — here a dependency-free
+    PNG tri-planar montage straight from the volumes.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.nifti import read_nifti
+from ..utils.tb_writer import encode_png
+
+
+# ---------------------------------------------------------------------------
+# aggregation + plots (plot_mae.py / average_mse.py / mae_boxplot.png)
+# ---------------------------------------------------------------------------
+
+def load_metric_json(path) -> Dict[str, float]:
+    """mean_absolute_error.json-style {case: value} or {case: {sub: value}}."""
+    data = json.loads(Path(path).read_text())
+    out = {}
+    for k, v in data.items():
+        out[k] = v if isinstance(v, (int, float)) else v.get("t2gen_vs_t2gt")
+    return out
+
+
+def summarize(values: Sequence[float]) -> Dict[str, float]:
+    a = np.asarray(list(values), np.float64)
+    return {
+        "mean": float(a.mean()),
+        "median": float(np.median(a)),
+        "std": float(a.std()),
+        "min": float(a.min()),
+        "max": float(a.max()),
+        "n": int(a.size),
+    }
+
+
+def ratio_pct(gen_mean: float, identity_mean: float) -> float:
+    """gen/identity x100, lower is better (plot_mae.py:14)."""
+    return 100.0 * gen_mean / identity_mean if identity_mean else float("nan")
+
+
+def boxplot_png(out_path, series: Dict[str, Sequence[float]],
+                title: str = "", ylabel: str = "") -> Optional[str]:
+    """Boxplot like code/metrics/mae_boxplot.png; no-op if matplotlib absent."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.boxplot(list(series.values()), tick_labels=list(series.keys()))
+    if title:
+        ax.set_title(title)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return str(out_path)
+
+
+# ---------------------------------------------------------------------------
+# volume snapshots (tri-planar montage)
+# ---------------------------------------------------------------------------
+
+def snapshot_png(vol_zyx: np.ndarray, out_path) -> str:
+    """Mid-axial/coronal/sagittal montage, one PNG — the Slicer-screenshot
+    stand-in for visual QA (slicer_minipig_snapshot.py role)."""
+    v = np.asarray(vol_zyx, np.float32)
+    v = (v - v.min()) / max(v.max() - v.min(), 1e-6)
+    z, y, x = v.shape
+    slices = [v[z // 2], v[:, y // 2], v[:, :, x // 2]]
+    h = max(s.shape[0] for s in slices)
+    w = sum(s.shape[1] for s in slices) + 2 * 4
+    canvas = np.zeros((h, w), np.float32)
+    cx = 0
+    for s in slices:
+        canvas[: s.shape[0], cx : cx + s.shape[1]] = s
+        cx += s.shape[1] + 4
+    png = encode_png((canvas * 255).astype(np.uint8))
+    Path(out_path).write_bytes(png)
+    return str(out_path)
+
+
+# ---------------------------------------------------------------------------
+# HTML review gallery (review_html.py / review_minipig.html)
+# ---------------------------------------------------------------------------
+
+_CSS = """
+body { font-family: sans-serif; background: #111; color: #ddd; }
+h1 { font-size: 1.2em; }
+table { border-collapse: collapse; }
+td, th { padding: 6px 10px; border-bottom: 1px solid #333; text-align: center; }
+img { image-rendering: pixelated; max-width: 340px; }
+.metrics { font-size: 0.85em; color: #9c9; }
+"""
+
+
+def review_html(
+    out_dir,
+    cases: List[Dict[str, str]],
+    metrics: Optional[Dict[str, Dict[str, float]]] = None,
+    title: str = "T1 / T2 review",
+) -> str:
+    """Write an offline review page: one row per case with T1/T2gt/T2gen
+    snapshots (+ per-case metrics). `cases` entries map column name -> NIfTI
+    path. Returns the page path."""
+    out_dir = Path(out_dir)
+    snap_dir = out_dir / "snapshots"
+    snap_dir.mkdir(parents=True, exist_ok=True)
+    columns: List[str] = []
+    for case in cases:
+        for k in case:
+            if k != "name" and k not in columns:
+                columns.append(k)
+    rows = []
+    for i, case in enumerate(cases):
+        name = case.get("name", f"case{i}")
+        cells = [f"<td>{html.escape(str(name))}</td>"]
+        for col in columns:
+            path = case.get(col)
+            if not path:
+                cells.append("<td>—</td>")
+                continue
+            vol, _ = read_nifti(path)
+            snap = snap_dir / f"{i:04d}_{col}.png"
+            snapshot_png(vol, snap)
+            cells.append(f'<td><img src="snapshots/{snap.name}"><br>'
+                         f"<small>{html.escape(Path(path).name)}</small></td>")
+        if metrics and name in metrics:
+            m = metrics[name]
+            mtxt = " ".join(f"{k}={v:.3f}" for k, v in sorted(m.items())
+                            if isinstance(v, (int, float)))
+            cells.append(f'<td class="metrics">{html.escape(mtxt)}</td>')
+        rows.append("<tr>" + "".join(cells) + "</tr>")
+    header = "".join(f"<th>{html.escape(c)}</th>" for c in ["case"] + columns
+                     + (["metrics"] if metrics else []))
+    page = (
+        f"<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{html.escape(title)}</h1>"
+        f"<table><tr>{header}</tr>{''.join(rows)}</table></body></html>"
+    )
+    out_path = out_dir / "review.html"
+    out_path.write_text(page)
+    return str(out_path)
+
+
+def inference_review(inference_dir, out_dir=None, limit: int = 50) -> Optional[str]:
+    """Build the gallery from a run_inference output directory (groups files
+    the way psnr_ssim_metric.py:54-65 does: 'truth' / 'inferred' / rest)."""
+    inference_dir = Path(inference_dir)
+    out_dir = Path(out_dir or inference_dir)
+    t1, gen, gt = [], [], []
+    for p in sorted(inference_dir.glob("*.nii*")):
+        s = p.name
+        if "t2_truth" in s:
+            gt.append(p)
+        elif "t2_inferred" in s:
+            gen.append(p)
+        else:
+            t1.append(p)
+    n = min(len(t1), len(gen), len(gt), limit)
+    if n == 0:
+        return None
+    metrics = None
+    eval_json = inference_dir / "evaluation.json"
+    if eval_json.exists():
+        metrics = {k: {"mae": v["mae_t2gen_vs_t2gt"],
+                       "ssim": v["ssim_t2gen_vs_t2gt"],
+                       "psnr": v["psnr_t2gen_vs_t2gt"]}
+                   for k, v in json.loads(eval_json.read_text())["per_case"].items()}
+    cases = [
+        {"name": t1[i].name.split(".")[0], "t1w": str(t1[i]),
+         "t2w_truth": str(gt[i]), "t2w_generated": str(gen[i])}
+        for i in range(n)
+    ]
+    return review_html(out_dir, cases, metrics)

@@ -1,0 +1,67 @@
+"""Reporting: aggregation math, boxplot, snapshots, HTML review gallery."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from minipig_gan_tpu.data.nifti import write_nifti
+from minipig_gan_tpu.data.synthetic import synthetic_pair
+from minipig_gan_tpu.eval.report import (
+    boxplot_png,
+    inference_review,
+    load_metric_json,
+    ratio_pct,
+    review_html,
+    snapshot_png,
+    summarize,
+)
+
+
+def test_summarize_and_ratio():
+    s = summarize([1.0, 2.0, 3.0])
+    assert s["mean"] == 2.0 and s["n"] == 3
+    assert abs(ratio_pct(4.365, 11.851) - 36.83) < 0.1  # the reference's 37%
+
+
+def test_load_metric_json_both_formats(tmp_path):
+    p1 = tmp_path / "mae.json"
+    p1.write_text(json.dumps({"a": 1.0, "b": 2.0}))
+    assert load_metric_json(p1) == {"a": 1.0, "b": 2.0}
+    p2 = tmp_path / "mse.json"
+    p2.write_text(json.dumps({"a": {"t2gen_vs_t2gt": 3.0, "t1gt_vs_t2gt": 9.0}}))
+    assert load_metric_json(p2) == {"a": 3.0}
+
+
+def test_boxplot(tmp_path):
+    out = boxplot_png(tmp_path / "box.png", {"gen": [1, 2, 3], "ident": [4, 5, 6]},
+                      title="MAE", ylabel="mae")
+    if out is not None:  # matplotlib present in this env
+        assert Path(out).stat().st_size > 500
+
+
+def test_snapshot_png(tmp_path):
+    t1, _, _ = synthetic_pair((16, 18, 20), seed=0)
+    out = snapshot_png(t1, tmp_path / "snap.png")
+    data = Path(out).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_review_html(tmp_path):
+    t1, t2, meta = synthetic_pair((12, 12, 12), seed=1)
+    p1, p2 = tmp_path / "a_T1w.nii.gz", tmp_path / "a_T2w.nii.gz"
+    write_nifti(p1, t1, meta)
+    write_nifti(p2, t2, meta)
+    page = review_html(tmp_path, [{"name": "a", "t1w": str(p1), "t2w": str(p2)}],
+                       metrics={"a": {"mae": 1.23}})
+    txt = Path(page).read_text()
+    assert "<html" in txt and "snapshots/0000_t1w.png" in txt and "mae=1.230" in txt
+
+
+def test_inference_review_grouping(tmp_path):
+    t1, t2, meta = synthetic_pair((12, 12, 12), seed=2)
+    write_nifti(tmp_path / "caseA_T1w.nii.gz", t1, meta)
+    write_nifti(tmp_path / "caseA_T1w_t2_inferred.nii.gz", t2, meta)
+    write_nifti(tmp_path / "caseA_T2w_t2_truth.nii.gz", t2, meta)
+    page = inference_review(tmp_path)
+    assert page and Path(page).exists()
