@@ -42,7 +42,11 @@ def main() -> None:
     spatial = int(os.environ.get("BENCH_SPATIAL", "128"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
     mode = os.environ.get("BENCH_MODE", "gan")
-    batch_candidates = [int(os.environ.get("BENCH_BATCH", "4")), 2, 1]
+    b0 = int(os.environ.get("BENCH_BATCH", "4"))
+    a0 = int(os.environ.get("BENCH_ACCUM", "1"))
+    # (batch, accum) fallback chain: keep the reference batch size via
+    # gradient accumulation before shrinking the batch itself
+    candidates = [(b0, a0), (4, 2), (4, 4), (2, 1), (2, 2), (1, 1)]
 
     rs = np.random.RandomState(0)
 
@@ -53,10 +57,11 @@ def main() -> None:
 
     result = None
     last_err = None
-    for batch_size in dict.fromkeys(batch_candidates):
+    for batch_size, accum in dict.fromkeys(candidates):
         try:
             cfg = Config(train=TrainConfig(mode=mode, compute_dtype="bfloat16",
-                                           batch_size=batch_size))
+                                           batch_size=batch_size,
+                                           accum_steps=accum))
             tr = GANTrainer(cfg)
             batch = make_batch(batch_size)
             t_init0 = time.time()
@@ -65,28 +70,40 @@ def main() -> None:
             init_s = time.time() - t_init0
 
             step = jax.jit(tr.train_step, donate_argnums=0)
+            # NOTE: on tunneled/async backends block_until_ready can return
+            # before remote execution completes; a scalar device_get (float())
+            # is the only reliable sync. Per-step time is measured
+            # DIFFERENTIALLY — (time of 2N steps+fetch) - (N steps+fetch))/N —
+            # so constant fetch/queue overhead cancels.
             t_c0 = time.time()
             state, metrics = step(state, batch)
-            jax.block_until_ready(metrics["g_loss"])
+            float(metrics["g_loss"])
             compile_s = time.time() - t_c0
-            # warmup one more, then measure
-            state, metrics = step(state, batch)
-            jax.block_until_ready(metrics["g_loss"])
-            t0 = time.time()
-            for _ in range(n_steps):
-                state, metrics = step(state, batch)
-            jax.block_until_ready(metrics["g_loss"])
-            dt = (time.time() - t0) / n_steps
+
+            def timed_steps(state, n):
+                t0 = time.time()
+                for _ in range(n):
+                    state, metrics = step(state, batch)
+                g = float(metrics["g_loss"])
+                return state, time.time() - t0, g
+
+            state, t_n, _ = timed_steps(state, n_steps)
+            state, t_2n, g_val = timed_steps(state, 2 * n_steps)
+            dt = max((t_2n - t_n) / n_steps, 1e-9)
 
             # inference throughput (eval-mode generator forward)
             gen = jax.jit(tr.generate)
             out = gen(state, batch["t1w"])
-            jax.block_until_ready(out)
-            t1_ = time.time()
-            for _ in range(n_steps):
-                out = gen(state, batch["t1w"])
-            jax.block_until_ready(out)
-            inf_dt = (time.time() - t1_) / n_steps
+            float(out[0, 0, 0, 0, 0])
+            def timed_inf(n):
+                t0 = time.time()
+                for _ in range(n):
+                    out = gen(state, batch["t1w"])
+                float(out[0, 0, 0, 0, 0])
+                return time.time() - t0
+            i_n = timed_inf(n_steps)
+            i_2n = timed_inf(2 * n_steps)
+            inf_dt = max((i_2n - i_n) / n_steps, 1e-9)
 
             result = {
                 "metric": "train_slices_per_sec_per_chip",
@@ -97,19 +114,21 @@ def main() -> None:
                 "train_vols_per_s": round(batch_size / dt, 3),
                 "infer_vols_per_s": round(batch_size / inf_dt, 3),
                 "batch_size": batch_size,
+                "accum_steps": accum,
                 "spatial": spatial,
                 "mode": mode,
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
                 "device": str(jax.devices()[0]),
-                "g_loss": float(metrics["g_loss"]),
+                "g_loss": g_val,
             }
             break
         except Exception as e:  # OOM -> try smaller batch
             last_err = e
             msg = str(e).lower()
             if "resource_exhausted" in msg or "out of memory" in msg:
-                print(f"# batch {batch_size} OOM, retrying smaller", file=sys.stderr)
+                print(f"# batch {batch_size} accum {accum} OOM, retrying smaller",
+                      file=sys.stderr)
                 continue
             raise
     if result is None:

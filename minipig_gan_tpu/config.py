@@ -62,6 +62,9 @@ class TrainConfig:
     batch_size: int = 4
     eval_batch_size: int = 1
     one_sided_label_value: float = 0.9
+    # microbatch count for gradient accumulation: activation memory scales
+    # with batch_size/accum_steps while the optimizer sees the full batch
+    accum_steps: int = 1
     max_steps: int = 1_000_000
     seed: int = 0
     # 'gan' = full pix2pix loop; 'generator_only' = L1 regression slice

@@ -207,63 +207,100 @@ class GANTrainer:
         roi = self.cfg.patch.roi_size
         n_samples = self.cfg.patch.num_samples
 
-        # ---- generator sub-step (optimizer_idx == 0) ----
-        def g_loss_fn(g_params):
-            gen, g_upd = self._g_apply(g_params, state.g_stats, t1)
-            if use_patches:
-                gen_d, real_d = random_patch_pairs(g_rng, gen, t2, roi, n_samples)
-            else:
-                gen_d, real_d = gen, t2
-            fake_logits, acts_fake, d_stats1 = self._d_apply(
-                state.d_params, state.d_stats, gen_d
-            )
-            acts_real = []
-            d_stats2 = d_stats1
-            if use_perceptual:
-                _, acts_real, d_stats2 = self._d_apply(
-                    state.d_params, d_stats1, real_d
-                )
-            ls = L.generator_loss(
-                fake_logits, gen_d, real_d, acts_fake, acts_real, use_perceptual
-            )
-            return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2)
+        # Gradient accumulation: the batch is split into `accum_steps`
+        # microbatches processed sequentially under lax.scan, so activation
+        # memory scales with the MICRObatch while the optimizer still sees the
+        # full-batch gradient — how whole-volume 128^3 GAN training fits one
+        # chip's HBM at reference batch sizes. BN batch statistics are
+        # per-microbatch, which mirrors the reference's per-GPU `dp` stats
+        # (GAN_final.py:485).
+        accum = max(1, self.cfg.train.accum_steps)
+        b = t1.shape[0]
+        if b % accum != 0:
+            raise ValueError(f"batch {b} not divisible by accum_steps {accum}")
+        mb = b // accum
+        t1_m = t1.reshape(accum, mb, *t1.shape[1:])
+        t2_m = t2.reshape(accum, mb, *t2.shape[1:])
+        g_rngs = jax.random.split(g_rng, accum)
+        d_rngs = jax.random.split(d_rng, accum)
+        zero_g_grads = jax.tree.map(jnp.zeros_like, state.g_params)
+        zero_d_grads = jax.tree.map(jnp.zeros_like, state.d_params)
 
-        (_, (g_ls, g_stats, d_stats)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        # ---- generator sub-step (optimizer_idx == 0) ----
+        def g_micro(carry, xs):
+            g_stats, d_stats, grad_acc = carry
+            t1_mb, t2_mb, rng_mb = xs
+
+            def g_loss_fn(g_params):
+                gen, g_upd = self._g_apply(g_params, g_stats, t1_mb)
+                if use_patches:
+                    gen_d, real_d = random_patch_pairs(
+                        rng_mb, gen, t2_mb, roi, n_samples)
+                else:
+                    gen_d, real_d = gen, t2_mb
+                fake_logits, acts_fake, d_stats1 = self._d_apply(
+                    state.d_params, d_stats, gen_d)
+                acts_real = []
+                d_stats2 = d_stats1
+                if use_perceptual:
+                    _, acts_real, d_stats2 = self._d_apply(
+                        state.d_params, d_stats1, real_d)
+                ls = L.generator_loss(
+                    fake_logits, gen_d, real_d, acts_fake, acts_real,
+                    use_perceptual)
+                return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2)
+
+            (_, (ls, g_stats, d_stats)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            return (g_stats, d_stats, grad_acc), ls
+
+        (g_stats, d_stats, g_grads), g_ls = jax.lax.scan(
+            g_micro, (state.g_stats, state.d_stats, zero_g_grads),
+            (t1_m, t2_m, g_rngs))
+        g_grads = jax.tree.map(lambda g: g / accum, g_grads)
         g_updates, g_opt_state = self.g_tx.update(
             g_grads, state.g_opt_state, state.g_params
         )
         g_params = optax.apply_updates(state.g_params, g_updates)
-        metrics.update(g_ls)
+        metrics.update(jax.tree.map(lambda x: jnp.mean(x), g_ls))
 
         # ---- discriminator sub-step (optimizer_idx == 1) ----
         # Fresh G forward with the UPDATED generator, detached
         # (GAN_final.py:289-291); G BN stats update a second time.
-        gen2, g_upd2 = self._g_apply(g_params, g_stats, t1)
-        gen2 = jax.lax.stop_gradient(gen2)
-        g_stats = g_upd2["batch_stats"]
-        if use_patches:
-            gen_d2, real_d2 = random_patch_pairs(d_rng, gen2, t2, roi, n_samples)
-        else:
-            gen_d2, real_d2 = gen2, t2
+        def d_micro(carry, xs):
+            g_stats, d_stats, grad_acc = carry
+            t1_mb, t2_mb, rng_mb = xs
+            gen2, g_upd2 = self._g_apply(g_params, g_stats, t1_mb)
+            gen2 = jax.lax.stop_gradient(gen2)
+            g_stats = g_upd2["batch_stats"]
+            if use_patches:
+                gen_d2, real_d2 = random_patch_pairs(
+                    rng_mb, gen2, t2_mb, roi, n_samples)
+            else:
+                gen_d2, real_d2 = gen2, t2_mb
 
-        def d_loss_fn(d_params):
-            real_logits, _, d_s1 = self._d_apply(d_params, d_stats, real_d2)
-            fake_logits, _, d_s2 = self._d_apply(d_params, d_s1, gen_d2)
-            ls = L.discriminator_loss(
-                real_logits, fake_logits, self.cfg.train.one_sided_label_value
-            )
-            return ls["d_loss"], (ls, d_s2)
+            def d_loss_fn(d_params):
+                real_logits, _, d_s1 = self._d_apply(d_params, d_stats, real_d2)
+                fake_logits, _, d_s2 = self._d_apply(d_params, d_s1, gen_d2)
+                ls = L.discriminator_loss(
+                    real_logits, fake_logits,
+                    self.cfg.train.one_sided_label_value)
+                return ls["d_loss"], (ls, d_s2)
 
-        (_, (d_ls, d_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.d_params)
+            (_, (ls, d_stats)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            return (g_stats, d_stats, grad_acc), ls
+
+        (g_stats, d_stats, d_grads), d_ls = jax.lax.scan(
+            d_micro, (g_stats, d_stats, zero_d_grads), (t1_m, t2_m, d_rngs))
+        d_grads = jax.tree.map(lambda g: g / accum, d_grads)
         d_updates, d_opt_state = self.d_tx.update(
             d_grads, state.d_opt_state, state.d_params
         )
         d_params = optax.apply_updates(state.d_params, d_updates)
-        metrics.update(d_ls)
+        metrics.update(jax.tree.map(lambda x: jnp.mean(x), d_ls))
 
         new_state = state.replace(
             step=state.step + 1,

@@ -77,8 +77,12 @@ def train(cfg: Config, resume: bool = True,
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
     train_ds, val_ds, test_ds = build_datasets(cfg, log_dir)
-    if len(train_ds) == 0:
-        raise ValueError("no training pairs found (check structure.json)")
+    if len(train_ds) < cfg.train.batch_size:
+        raise ValueError(
+            f"train split has {len(train_ds)} pairs but batch_size is "
+            f"{cfg.train.batch_size} (full batches are required for the "
+            f"static-shape step) — add data or lower train.batch_size."
+        )
     loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=cfg.data.shuffle,
                          seed=cfg.train.seed, drop_last=True)
 

@@ -143,3 +143,29 @@ def test_gan_training_descends():
         state, metrics = step(state, batch)
         recons.append(float(metrics["g_recon_loss"]))
     assert recons[-1] < recons[0], recons[:3] + recons[-3:]
+
+
+def test_accum_steps_equivalent_shapes_and_finite():
+    """accum_steps=2 runs and produces finite metrics; grads averaged over
+    microbatches (BN per-microbatch like reference per-GPU dp stats)."""
+    cfg = tiny_cfg("gan", accum_steps=2)
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16, b=4)
+    state = tr.init(jax.random.PRNGKey(7), batch)
+    state2, metrics = jax.jit(tr.train_step)(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.step) == 1
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.g_params, state2.g_params)
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_accum_indivisible_batch_raises():
+    cfg = tiny_cfg("gan", accum_steps=3)
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16, b=4)
+    state = tr.init(jax.random.PRNGKey(8), batch)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        jax.jit(tr.train_step)(state, batch)
