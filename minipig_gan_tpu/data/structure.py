@@ -93,6 +93,40 @@ def split_pairs(structure: Dict) -> Dict[str, List[Dict[str, str]]]:
     return {s: structure_to_pairs(structure.get(s, {})) for s in SPLITS}
 
 
+def split_path_list(
+    paths: Sequence[str],
+    splits: Sequence[float] = (0.8, 0.1, 0.1),
+    seed: Optional[int] = None,
+    subject_pattern: str = r"sub-[0-9A-Za-z]+",
+) -> Dict[str, List[str]]:
+    """Flat path-list splitter — the modality-list splits of
+    code/metadata/T1w_data_split.py / T2w_data_split.py (regex `sub-\\d+`,
+    T1w_data_split.py:11-14). The reference split by path count and then
+    patched leakage post-hoc with subject-moving loops (:40-61); here the
+    split is BY SUBJECT from the start, so no repair pass is needed."""
+    import re
+
+    assert len(splits) == 3
+    by_subject: Dict[str, List[str]] = {}
+    pat = re.compile(subject_pattern)
+    for p in paths:
+        m = pat.search(str(p))
+        key = m.group(0) if m else str(p)
+        by_subject.setdefault(key, []).append(str(p))
+    subjects = sorted(by_subject)
+    rng = random.Random(seed)
+    rng.shuffle(subjects)
+    n = len(subjects)
+    train_cut = splits[0] * n
+    val_cut = (splits[0] + splits[1]) * n
+    out: Dict[str, List[str]] = {"train": [], "validation": [], "test": []}
+    for i, s in enumerate(subjects):
+        split = "train" if i < train_cut else (
+            "validation" if i < val_cut else "test")
+        out[split].extend(sorted(by_subject[s]))
+    return out
+
+
 def count_breakdown(structure: Dict) -> Dict[str, Dict[str, int]]:
     """Usable (t1w AND t2w) session/subject counts per split — the data audit
     of code/metrics/count_data_breakdown.py:6-21."""

@@ -72,3 +72,18 @@ def test_split_fractions(tmp_path):
         (d / f"x_T2w.nii.gz").write_bytes(b"")
     s = generate_structure(str(root), splits=(0.8, 0.1, 0.1), seed=3)
     assert len(s["train"]) == 8 and len(s["validation"]) == 1 and len(s["test"]) == 1
+
+
+def test_split_path_list_no_leakage():
+    from minipig_gan_tpu.data.structure import split_path_list
+
+    paths = [f"/d/sub-{i:03d}/ses-01/sub-{i:03d}_run-{r}_T1w.nii.gz"
+             for i in range(10) for r in (1, 2)]
+    out = split_path_list(paths, (0.8, 0.1, 0.1), seed=0)
+    assert sum(len(v) for v in out.values()) == 20
+    import re
+    subs = {k: {re.search(r"sub-\d+", p).group(0) for p in v}
+            for k, v in out.items()}
+    assert not (subs["train"] & subs["test"])
+    assert not (subs["train"] & subs["validation"])
+    assert len(subs["train"]) == 8
