@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the synthetic fixture dataset")
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--retries", type=int, default=0,
+                        help="auto-restart training from the last checkpoint "
+                             "up to N times on failure (elastic recovery)")
     args = parser.parse_args(argv)
 
     setup_jax_cache()
@@ -41,7 +44,19 @@ def main(argv=None) -> None:
     )
     from ..train.loop import train
 
-    train(cfg, resume=not args.no_resume)
+    attempts = args.retries + 1
+    for attempt in range(attempts):
+        try:
+            train(cfg, resume=(not args.no_resume) or attempt > 0)
+            return
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — elastic restart boundary
+            if attempt + 1 >= attempts:
+                raise
+            print(f"training attempt {attempt + 1} failed ({e!r}); "
+                  f"restarting from last checkpoint "
+                  f"({attempts - attempt - 1} retries left)")
 
 
 if __name__ == "__main__":

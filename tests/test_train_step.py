@@ -169,3 +169,16 @@ def test_accum_indivisible_batch_raises():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not divisible"):
         jax.jit(tr.train_step)(state, batch)
+
+
+def test_step_determinism():
+    """Race/determinism check (utils/determinism.py): identical state+batch
+    must produce bitwise-identical step outputs."""
+    from minipig_gan_tpu.utils.determinism import check_step_determinism
+
+    cfg = tiny_cfg("gan")
+    tr = GANTrainer(cfg)
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(9), batch)
+    ok, bad = check_step_determinism(jax.jit(tr.train_step), state, batch)
+    assert ok, f"nondeterministic leaves: {list(bad)[:5]}"
