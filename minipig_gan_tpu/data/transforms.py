@@ -113,6 +113,52 @@ class MinipigResampled(Transform):
         return d
 
 
+class Resized(Transform):
+    """Pure shape resize (no physical-space reasoning) — the MONAI `Resized`
+    used by the early experiment pipeline (test_runs/perceptual_test.py:
+    333-353: LoadImaged + Resized instead of the physical resampler).
+    Linear interpolation with align_corners=False semantics
+    (c_in = (i_out + 0.5) * in/out - 0.5, edge-clamped)."""
+
+    def __init__(self, keys: Sequence[str], spatial_size=(128, 128, 128)):
+        self.keys = keys
+        self.spatial_size = tuple(spatial_size)
+
+    @staticmethod
+    def _weights(n_out: int, n_in: int) -> np.ndarray:
+        scale = n_in / n_out
+        c = (np.arange(n_out) + 0.5) * scale - 0.5
+        c = np.clip(c, 0, n_in - 1)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = c - lo
+        w = np.zeros((n_out, n_in), np.float32)
+        rows = np.arange(n_out)
+        np.add.at(w, (rows, lo), 1.0 - frac)
+        np.add.at(w, (rows, hi), frac)
+        return w
+
+    def __call__(self, data: Dict) -> Dict:
+        d = dict(data)
+        for k in self.keys:
+            vol = np.asarray(d[k], np.float32)
+            wz = self._weights(self.spatial_size[0], vol.shape[0])
+            wy = self._weights(self.spatial_size[1], vol.shape[1])
+            wx = self._weights(self.spatial_size[2], vol.shape[2])
+            v = np.einsum("ax,zyx->zya", wx, vol)
+            v = np.einsum("by,zya->zba", wy, v)
+            d[k] = np.einsum("cz,zba->cba", wz, v)
+            meta = d.get(f"{k}_meta")
+            if meta is not None:
+                out_spacing = meta.spacing * (
+                    np.asarray(vol.shape[::-1]) / np.asarray(self.spatial_size[::-1])
+                )
+                new_meta = meta.copy()
+                new_meta.spacing = out_spacing
+                d[f"{k}_meta"] = new_meta
+        return d
+
+
 class ScaleIntensityRangePercentilesd(Transform):
     """MONAI-parameter-compatible percentile windowing (GAN_final.py:386-394;
     eval variant inferrence.py:150-162)."""
