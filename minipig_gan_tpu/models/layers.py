@@ -204,9 +204,11 @@ class BatchNorm3d(nn.Module):
         )
         if train:
             red = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=red)
-            mean2 = jnp.mean(jnp.square(xf), axis=red)
+            # fp32-ACCUMULATED reductions directly on the (possibly bf16)
+            # input — no materialized fp32 copy of the activation, which
+            # matters a lot on a bandwidth-bound chip (BN follows every conv).
+            mean = jnp.mean(x, axis=red, dtype=jnp.float32)
+            mean2 = jnp.mean(jnp.square(x), axis=red, dtype=jnp.float32)
             n = 1
             for a in red:
                 n *= x.shape[a]
@@ -229,9 +231,12 @@ class BatchNorm3d(nn.Module):
         else:
             mean = ra_mean.value.astype(jnp.float32)
             var = ra_var.value.astype(jnp.float32)
+        # normalization arithmetic in the input dtype (per-channel affine is
+        # precomputed in fp32 and cast once; elementwise pass stays bf16)
         inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
-        return y.astype(x.dtype)
+        shift = bias.astype(jnp.float32) - mean * inv
+        y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+        return y
 
 
 class PReLU(nn.Module):
