@@ -200,11 +200,14 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._put = put
         self._done = object()
+        self._error: Optional[BaseException] = None
 
         def worker():
             try:
                 for b in batches:
                     self._q.put(self._put(b))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                self._error = e
             finally:
                 self._q.put(self._done)
 
@@ -217,6 +220,8 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 

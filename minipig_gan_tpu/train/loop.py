@@ -72,7 +72,19 @@ def train(cfg: Config, resume: bool = True,
     log_dir = Path(cfg.log_dir)
     log_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(log_dir, echo_every=cfg.train.log_every)
-    mesh = make_mesh(cfg.mesh)
+    mesh_cfg = cfg.mesh
+    if mesh_cfg.data <= 0:
+        # auto mesh: the data axis must divide the batch; use the largest
+        # device count that does (a 1-chip mesh on the bench/TPU box, all 8
+        # on the virtual CPU mesh when the batch allows)
+        import math as _math
+
+        n_avail = len(jax.devices()) // max(1, mesh_cfg.spatial)
+        data = _math.gcd(cfg.train.batch_size, n_avail) or 1
+        from ..config import MeshConfig
+
+        mesh_cfg = MeshConfig(data=data, spatial=mesh_cfg.spatial)
+    mesh = make_mesh(mesh_cfg)
     trainer = GANTrainer(cfg)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
