@@ -3,6 +3,7 @@
 from .casnet import CasNetGenerator
 from .discriminator import (
     GlobalDiscriminator,
+    MonaiDiscriminator,
     MonaiStyleDiscriminator,
     PatchPerceptualDiscriminator,
 )
@@ -19,6 +20,7 @@ from .unet3d import Convolution, ResidualUnit, UNet3D
 __all__ = [
     "CasNetGenerator",
     "GlobalDiscriminator",
+    "MonaiDiscriminator",
     "MonaiStyleDiscriminator",
     "PatchPerceptualDiscriminator",
     "UNet3D",

@@ -18,10 +18,10 @@ Three variants, mirroring the reference's experiments:
   EVERY sub-layer (conv, norm, and act each produce a tap, then each linear
   stage) exactly as the reference's per-module loop does.
 
-* `MonaiStyleDiscriminator` — the early MONAI `Discriminator` experiment
-  (/root/reference/test_runs/perceptual_test.py:127-171): strided conv
-  pyramid channels (8,16,32,64,1) with PReLU, final sigmoid over a
-  1-logit head.
+* `MonaiDiscriminator` — the early MONAI `Discriminator` experiment
+  (/root/reference/test_runs/perceptual_test.py:127-141): exact MONAI 0.4.0
+  topology — 7 stride-2 ResidualUnits (channels 8..256,1; norm=None, PReLU,
+  subunits=2), Flatten -> Linear -> sigmoid 1-logit head.
 
 All discriminators RETURN LOGITS; apply `jax.nn.sigmoid` (or use the
 from-logits BCE in train/losses.py, which is the numerically stable identical
@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm3d, Conv3d, Dense, PReLU, leaky_relu
+from .layers import BatchNorm3d, Conv3d, Dense, leaky_relu
 
 
 class _DiscBlock(nn.Module):
@@ -134,22 +134,59 @@ class PatchPerceptualDiscriminator(nn.Module):
         return logits.astype(jnp.float32), acts
 
 
-class MonaiStyleDiscriminator(nn.Module):
-    """Early experiment wrapping monai.networks.nets.Discriminator
-    (test_runs/perceptual_test.py:127-171): strided Conv3d pyramid with
-    PReLU + BatchNorm, flattened 1-logit head. Returns logits (N, 1)."""
+class MonaiDiscriminator(nn.Module):
+    """Exact MONAI 0.4.0 ``Discriminator`` topology, as the reference
+    configures it (/root/reference/test_runs/perceptual_test.py:127-141):
 
-    features: Tuple[int, ...] = (8, 16, 32, 64)
+        Discriminator(img_shape, channels=(8,16,32,64,128,256,1),
+                      strides=(2,2,2,2,2,2,2,1), num_res_units=2,
+                      kernel_size=3, act="PRELU", norm=None,
+                      last_act="SIGMOID")
+
+    MONAI's ``Regressor`` lineage zips channels with strides (the trailing
+    stride-1 entry is unused), building one ``ResidualUnit(subunits=2,
+    norm=None, act=PRELU, last_conv_only=is_last)`` per channel entry, then a
+    ``Flatten -> Linear(prod(final_shape) -> 1)`` head with sigmoid last_act.
+    With norm=None each sub-convolution is conv -> PReLU (no BatchNorm).
+
+    Returns LOGITS (N, 1); apply sigmoid / from-logits BCE for the
+    reference's SIGMOID last_act.
+    """
+
+    channels: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 1)
+    strides: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 1)
+    num_res_units: int = 2
+    kernel_size: int = 3
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        for i, f in enumerate(self.features):
-            x = Conv3d(f, kernel_size=3, strides=2, padding=1,
-                       dtype=self.dtype, name=f"conv{i}")(x)
-            x = BatchNorm3d(axis_name=self.bn_axis_name, name=f"norm{i}")(x, train)
-            x = PReLU(name=f"act{i}")(x)
+        from .unet3d import Convolution, ResidualUnit
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        pairs = list(zip(self.channels, self.strides))
+        for i, (c, s) in enumerate(pairs):
+            is_last = i == len(pairs) - 1
+            if self.num_res_units > 0:
+                x = ResidualUnit(
+                    c, strides=s, kernel_size=self.kernel_size,
+                    subunits=self.num_res_units, last_conv_only=is_last,
+                    norm=None, bn_axis_name=self.bn_axis_name,
+                    dtype=self.dtype, name=f"layer{i}",
+                )(x, train)
+            else:
+                x = Convolution(
+                    c, strides=s, kernel_size=self.kernel_size,
+                    conv_only=is_last, norm=None,
+                    bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                    name=f"layer{i}",
+                )(x, train)
         x = x.reshape(x.shape[0], -1)
         x = Dense(1, dtype=self.dtype, name="head")(x)
         return x.astype(jnp.float32)
+
+
+# Back-compat alias (pre-round-2 name for the then-approximate topology).
+MonaiStyleDiscriminator = MonaiDiscriminator

@@ -52,6 +52,8 @@ class Convolution(nn.Module):
     """MONAI 0.4.0 `Convolution`: conv (or conv-transpose) -> BN -> PReLU.
 
     `conv_only=True` drops norm+act (used for the UNet output layer).
+    `norm=None` drops only the BatchNorm (MONAI ADN with norm=None — the
+    reference's MONAI Discriminator uses this, perceptual_test.py:138).
     """
 
     features: int
@@ -59,6 +61,7 @@ class Convolution(nn.Module):
     kernel_size: int = 3
     conv_only: bool = False
     is_transposed: bool = False
+    norm: Optional[str] = "batch"
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -85,7 +88,8 @@ class Convolution(nn.Module):
                 name="conv",
             )(x)
         if not self.conv_only:
-            x = BatchNorm3d(axis_name=self.bn_axis_name, name="norm")(x, train)
+            if self.norm is not None:
+                x = BatchNorm3d(axis_name=self.bn_axis_name, name="norm")(x, train)
             x = PReLU(name="act")(x)
         return x
 
@@ -98,6 +102,7 @@ class ResidualUnit(nn.Module):
     kernel_size: int = 3
     subunits: int = 2
     last_conv_only: bool = False
+    norm: Optional[str] = "batch"
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -114,6 +119,7 @@ class ResidualUnit(nn.Module):
                 strides=s,
                 kernel_size=self.kernel_size,
                 conv_only=conv_only,
+                norm=self.norm,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f"unit{su}",

@@ -39,7 +39,7 @@ from ..config import Config
 from ..models import (
     CasNetGenerator,
     GlobalDiscriminator,
-    MonaiStyleDiscriminator,
+    MonaiDiscriminator,
     PatchPerceptualDiscriminator,
 )
 from ..ops.patches import random_patch_pairs
@@ -88,7 +88,7 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None):
             dtype=dtype,
         )
     elif kind == "monai":
-        disc = MonaiStyleDiscriminator(bn_axis_name=bn_axis_name, dtype=dtype)
+        disc = MonaiDiscriminator(bn_axis_name=bn_axis_name, dtype=dtype)
     else:
         raise ValueError(f"unknown discriminator kind {kind!r}")
     return gen, disc

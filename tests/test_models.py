@@ -82,13 +82,21 @@ def test_casnet_scan_and_loop_param_count_match():
     assert count(v_scan["params"]) == count(v_loop["params"])
 
 
-def test_monai_style_discriminator():
+def test_monai_discriminator_geometry():
+    """128^3 input through 7 stride-2 residual units -> 1^3 x 1ch -> 1 logit
+    (perceptual_test.py:127-141 config)."""
     d = MonaiStyleDiscriminator()
-    x = jnp.zeros((2, 64, 64, 64, 1))
-    out, _ = jax.eval_shape(
+    x = jnp.zeros((2, 128, 128, 128, 1))
+    out, variables = jax.eval_shape(
         lambda r: d.init_with_output(r, x, train=False), jax.random.PRNGKey(0)
     )
     assert out.shape == (2, 1)
+    # head operates on the flattened 1-channel 1^3 final feature map
+    assert variables["params"]["head"]["kernel"].shape == (1, 1)
+    # 7 layers, each a subunits=2 residual unit with a conv residual branch
+    l0 = variables["params"]["layer0"]
+    assert set(l0.keys()) == {"unit0", "unit1", "residual"}
+    assert "norm" not in l0["unit0"], "norm=None must create no BatchNorm"
 
 
 def test_unet_7level_variant_geometry():

@@ -178,3 +178,30 @@ def test_conv_transpose_matches_torch():
         y_t = tm(to_torch_nchw(x))
     np.testing.assert_allclose(np.asarray(y_jax), from_torch_nchw(y_t),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_monai_discriminator_parity():
+    """Exact MONAI 0.4.0 Discriminator config (perceptual_test.py:127-141):
+    channels (8,16,32,64,128,256,1), all strides 2, num_res_units=2,
+    norm=None, PRELU, Flatten->Linear 1-logit head. norm=None -> no batch
+    stats, so train and eval paths are numerically identical."""
+    from minipig_gan_tpu.models import MonaiDiscriminator
+
+    rng = jax.random.PRNGKey(7)
+    x = np.random.RandomState(11).randn(2, 32, 32, 32, 1).astype(np.float32)
+
+    jm = MonaiDiscriminator()
+    variables = jm.init(rng, jnp.asarray(x), train=True)
+    assert set(variables.keys()) == {"params"}, "norm=None must create no BN stats"
+    y_jax = jm.apply(variables, jnp.asarray(x), train=True)
+
+    tm = torch_ref.MonaiDiscriminator(in_spatial=32)
+    torch_ref.copy_monai_discriminator(
+        tm, jax.tree.map(np.asarray, variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        y_t = tm(to_torch_nchw(x))
+
+    assert y_jax.shape == (2, 1)
+    np.testing.assert_allclose(np.asarray(y_jax), y_t.numpy(),
+                               rtol=2e-4, atol=2e-4)

@@ -21,10 +21,11 @@ def same_pad(k: int) -> int:
 
 
 class Convolution(nn.Sequential):
-    """MONAI 0.4.0 Convolution: conv[/transpose] -> BN -> PReLU (unless conv_only)."""
+    """MONAI 0.4.0 Convolution: conv[/transpose] -> BN -> PReLU (unless
+    conv_only). norm=None drops just the BN (ADN skips None entries)."""
 
     def __init__(self, in_ch, out_ch, strides=1, kernel_size=3, conv_only=False,
-                 is_transposed=False):
+                 is_transposed=False, norm="batch"):
         super().__init__()
         p = same_pad(kernel_size)
         if is_transposed:
@@ -35,13 +36,14 @@ class Convolution(nn.Sequential):
             conv = nn.Conv3d(in_ch, out_ch, kernel_size, strides, p)
         self.add_module("conv", conv)
         if not conv_only:
-            self.add_module("norm", nn.BatchNorm3d(out_ch))
+            if norm is not None:
+                self.add_module("norm", nn.BatchNorm3d(out_ch))
             self.add_module("act", nn.PReLU())
 
 
 class ResidualUnit(nn.Module):
     def __init__(self, in_ch, out_ch, strides=1, kernel_size=3, subunits=2,
-                 last_conv_only=False):
+                 last_conv_only=False, norm="batch"):
         super().__init__()
         self.conv = nn.Sequential()
         self.residual = nn.Identity()
@@ -52,7 +54,7 @@ class ResidualUnit(nn.Module):
             self.conv.add_module(
                 f"unit{su}",
                 Convolution(sch, out_ch, strides=sstr, kernel_size=kernel_size,
-                            conv_only=conv_only),
+                            conv_only=conv_only, norm=norm),
             )
             sch, sstr = out_ch, 1
         if strides != 1 or in_ch != out_ch:
@@ -191,6 +193,37 @@ class PatchPerceptualDiscriminator(nn.Module):
         return logits, acts
 
 
+class MonaiDiscriminator(nn.Module):
+    """Mirror of the reference's MONAI 0.4.0 Discriminator config
+    (perceptual_test.py:127-141): per channel entry one
+    ResidualUnit(subunits=2, norm=None, act=PRELU, last_conv_only=is_last),
+    all strides 2, then Flatten -> Linear(prod -> 1) (DHWC-ordered flatten to
+    map 1:1 onto the channels-last JAX head). Returns logits."""
+
+    def __init__(self, channels=(8, 16, 32, 64, 128, 256, 1),
+                 strides=(2, 2, 2, 2, 2, 2, 2, 1), num_res_units=2,
+                 kernel_size=3, in_spatial=32):
+        super().__init__()
+        self.net = nn.Sequential()
+        in_ch, size = 1, in_spatial
+        pairs = list(zip(channels, strides))
+        for i, (c, s) in enumerate(pairs):
+            self.net.add_module(
+                f"layer{i}",
+                ResidualUnit(in_ch, c, strides=s, kernel_size=kernel_size,
+                             subunits=num_res_units,
+                             last_conv_only=i == len(pairs) - 1, norm=None),
+            )
+            in_ch = c
+            size = (size + 2 * same_pad(kernel_size) - kernel_size) // s + 1
+        self.head = nn.Linear(in_ch * size ** 3, 1)
+
+    def forward(self, x):
+        x = self.net(x)
+        x = x.permute(0, 2, 3, 4, 1).reshape(x.shape[0], -1)
+        return self.head(x)
+
+
 # ----------------------------------------------------------------------------
 # Weight transplant: flax param tree -> this torch mirror.
 # ----------------------------------------------------------------------------
@@ -237,6 +270,7 @@ def copy_convolution(tm: Convolution, p: dict, stats: dict | None, transposed: b
         copy_conv(tm.conv, p["conv"])
     if hasattr(tm, "norm"):
         copy_bn(tm.norm, p["norm"], stats.get("norm") if stats else None)
+    if hasattr(tm, "act"):
         copy_prelu(tm.act, p["act"])
 
 
@@ -283,6 +317,12 @@ def copy_global_discriminator(tm: GlobalDiscriminator, params: dict,
         sblk = (s.get(f"block{i}") or {})
         copy_conv(convs[i], blk["conv"])
         copy_bn(bns[i], blk["norm"], sblk.get("norm"))
+    copy_dense(tm.head, params["head"])
+
+
+def copy_monai_discriminator(tm: MonaiDiscriminator, params: dict):
+    for i, (_, layer) in enumerate(tm.net.named_children()):
+        copy_residual_unit(layer, params[f"layer{i}"], None)
     copy_dense(tm.head, params["head"])
 
 
