@@ -104,3 +104,64 @@ def test_evaluation_suite_keys():
             "mae_t1gt_vs_t2gt", "mse_t1gt_vs_t2gt"}.issubset(out.keys())
     for k, v in out.items():
         assert np.isfinite(float(v)), k
+
+
+class TestMIAnchors:
+    """Validate `mutual_information` against the reference's calibration
+    anchors (code/eval/*.xml, means over 438 pairs):
+
+        MI(T2gen, T2gt) = 0.292   (t2_gen_vs_t2_gt.xml)
+        MI(T1gt,  T2gt) = 0.196   (t2_gt_vs_t1_gt.xml)
+        MI(T2gt,  T2gt) = 0.445   (t2_gt_vs_t2_gt.xml, self-MI ceiling)
+
+    Convention pinned here (documented): joint histogram with bins=64 over
+    [0, 256), log base e (nats), computed over the FULL 0-padded volume.
+    Evidence this matches the external ImageCompare tool: the XMLs report
+    ~6% nonzero voxels per 128^3 volume (e.g. nonzeropoints=124104 of
+    2097152), and a background-dominated volume with that foreground
+    fraction has self-MI (= marginal entropy) ~ 0.43-0.48 nats under this
+    convention — matching the 0.445 ceiling; a masked/foreground-only
+    computation would instead give ~1.4+ nats, far off all three anchors.
+
+    The fixture mimics the reference's empirical statistics (5.7% spherical
+    foreground, [0,255]-rescaled rounded intensities, shared anatomy with
+    modality-specific contrast) and must reproduce each anchor within 0.1
+    and the strict ordering self > gen > identity.
+    """
+
+    def _fixture(self):
+        rs = np.random.RandomState(0)
+        L = 64
+        ax = np.linspace(-1, 1, L)
+        zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+        r = np.sqrt(zz ** 2 + yy ** 2 + xx ** 2)
+        mask = r < 0.486  # 5.7% of the volume, like the XML nonzeropoints
+        tissue = np.clip(0.5 + 0.35 * np.sin(r * 12.35) +
+                         0.08 * rs.randn(L, L, L), 0, 1)
+        t2 = np.where(mask, 20 + 230 * tissue, 0.0)
+        t1 = np.where(
+            mask, 20 + 230 * np.clip(1 - tissue + 0.30 * rs.randn(L, L, L), 0, 1),
+            0.0)
+        gen = np.where(mask, np.clip(t2 + 18 * rs.randn(L, L, L), 0, 255), 0.0)
+        return (np.round(t2), np.round(t1), np.round(gen))
+
+    def test_anchor_magnitudes_and_ordering(self):
+        t2, t1, gen = self._fixture()
+        mi = lambda a, b: float(M.mutual_information(jnp.asarray(a), jnp.asarray(b)))
+        mi_self = mi(t2, t2)
+        mi_gen = mi(gen, t2)
+        mi_ident = mi(t1, t2)
+        assert abs(mi_self - 0.445) < 0.10, mi_self
+        assert abs(mi_gen - 0.292) < 0.10, mi_gen
+        assert abs(mi_ident - 0.196) < 0.10, mi_ident
+        assert mi_self > mi_gen > mi_ident
+
+    def test_self_mi_equals_marginal_entropy(self):
+        """MI(X, X) must equal H(X) — independent numpy-histogram oracle."""
+        t2, _, _ = self._fixture()
+        h, _ = np.histogram(np.clip(t2, 0, 256 - 1e-6), bins=64, range=(0, 256))
+        p = h / h.sum()
+        p = p[p > 0]
+        entropy = float(-(p * np.log(p)).sum())
+        mi_self = float(M.mutual_information(jnp.asarray(t2), jnp.asarray(t2)))
+        np.testing.assert_allclose(mi_self, entropy, rtol=1e-5)
