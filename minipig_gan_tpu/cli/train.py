@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     parser.add_argument("--retries", type=int, default=0,
                         help="auto-restart training from the last checkpoint "
                              "up to N times on failure (elastic recovery)")
+    parser.add_argument("--profile", action="store_true",
+                        help="wrap the run in a jax profiler trace written to "
+                             "{log_dir}/profile (TensorBoard/Perfetto); use "
+                             "with a small --steps")
     args = parser.parse_args(argv)
 
     setup_jax_cache()
@@ -44,10 +48,20 @@ def main(argv=None) -> None:
     )
     from ..train.loop import train
 
+    import contextlib
+
+    if args.profile:
+        from ..utils.profiling import trace
+
+        profile_ctx = lambda: trace(str(cfg.log_dir) + "/profile")  # noqa: E731
+    else:
+        profile_ctx = contextlib.nullcontext
+
     attempts = args.retries + 1
     for attempt in range(attempts):
         try:
-            train(cfg, resume=(not args.no_resume) or attempt > 0)
+            with profile_ctx():
+                train(cfg, resume=(not args.no_resume) or attempt > 0)
             return
         except KeyboardInterrupt:
             raise

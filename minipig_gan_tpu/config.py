@@ -60,7 +60,6 @@ class TrainConfig:
     b1: float = 0.5
     b2: float = 0.999
     batch_size: int = 4
-    eval_batch_size: int = 1
     one_sided_label_value: float = 0.9
     # microbatch count for gradient accumulation: activation memory scales
     # with batch_size/accum_steps while the optimizer sees the full batch
@@ -73,7 +72,11 @@ class TrainConfig:
     # numeric policy: params fp32; compute dtype for convs.
     compute_dtype: str = "bfloat16"
     log_every: int = 10
+    # cadence of the rolling `last` resume checkpoint; the three loss
+    # monitors are evaluated on EVERY step's metrics (Lightning
+    # ModelCheckpoint parity, GAN_final.py:448-472) and save on improvement
     checkpoint_every: int = 500
+    # checkpoints kept per loss monitor (reference: save_top_k=1)
     keep_top_k: int = 1
     image_log_every_epochs: int = 1
 
@@ -94,6 +97,10 @@ class DataConfig:
     cache_num: int = 500
     num_workers: int = 8
     shuffle: bool = True
+    # fill the final partial batch by wrapping to the dataset start instead
+    # of dropping it (the reference's CustomDataLoader workaround,
+    # test_runs/GAN.py:204-233); sequential like the original
+    wrap_last_batch: bool = False
     prefetch: int = 2
     # synthetic fallback (CPU-testable fixture; SURVEY.md §7.1)
     synthetic_num_pairs: int = 0

@@ -29,8 +29,17 @@ def run_minipig_inference(
     t1_path: str,
     out_dir: Optional[str] = None,
     cfg: Optional[Config] = None,
+    sliding_window: Optional[tuple] = None,
+    sw_overlap: float = 0.25,
 ) -> str:
-    """Single minipig T1 -> generated T2 NIfTI; returns the output path."""
+    """Single minipig T1 -> generated T2 NIfTI; returns the output path.
+
+    `sliding_window=(rz, ry, rx)` runs the generator over overlapping ROI
+    windows with gaussian blending instead of one whole-volume forward —
+    the reference's dormant `sliding_window_inference` hook
+    (/root/reference/code/GAN/minipig_inference.py:110-114) made real.
+    ROI dims must be divisible by the generator's stride product (8).
+    """
     trainer, state = load_trainer_state(ckpt_path, cfg)
     cfg = cfg or load_config(Path(ckpt_path))
     out_dir = Path(out_dir or Path(cfg.log_dir) / "minipig")
@@ -43,8 +52,18 @@ def run_minipig_inference(
         res, cfg.data.lower_percentile, cfg.data.upper_percentile,
         cfg.data.b_min, cfg.data.b_max,
     )
-    t1 = jnp.asarray(norm[None, ..., None])
-    gen = np.asarray(jax.device_get(jax.jit(trainer.generate)(state, t1)))[0, ..., 0]
+    if sliding_window is not None:
+        from ..ops.sliding_window import sliding_window_inference
+
+        predictor = jax.jit(lambda x: trainer.generate(state, x))
+        gen = np.asarray(jax.device_get(sliding_window_inference(
+            jnp.asarray(norm[..., None]), tuple(sliding_window), predictor,
+            sw_batch_size=1, overlap=sw_overlap, mode="gaussian",
+        )))[..., 0]
+    else:
+        t1 = jnp.asarray(norm[None, ..., None])
+        gen = np.asarray(
+            jax.device_get(jax.jit(trainer.generate)(state, t1)))[0, ..., 0]
 
     name = Path(t1_path).name
     base = name.split(".")[0]

@@ -44,6 +44,64 @@ def restore_state(path, abstract_state: GANTrainState) -> GANTrainState:
     return ckptr.restore(path / "state", abstract_state)
 
 
+def restore_state_tolerant(path, init_state: GANTrainState,
+                           verbose: bool = True) -> GANTrainState:
+    """`strict=False` analogue of the reference's checkpoint loading
+    (/root/reference/code/GAN/inferrence.py:105): restore whatever
+    params/BN-stats leaves the checkpoint has that match the current
+    architecture, keep freshly-initialized values for the rest, and report
+    missing / unexpected / shape-mismatched leaves instead of failing.
+
+    `init_state` must be a CONCRETE state from `GANTrainer.init` (its values
+    seed the leaves the checkpoint can't provide). Optimizer states are kept
+    from `init_state` (Lightning's strict=False also only loads module
+    weights); `step` is carried over from the checkpoint when present.
+    """
+    path = Path(path).absolute()
+    raw = ocp.StandardCheckpointer().restore(path / "state")
+    missing: List[str] = []
+    unexpected: List[str] = []
+    mismatched: List[str] = []
+
+    def graft(target, loaded, prefix):
+        if not isinstance(target, dict):
+            if loaded is None:
+                missing.append(prefix.rstrip("/"))
+                return target
+            t_shape = tuple(getattr(target, "shape", ()))
+            l_shape = tuple(getattr(loaded, "shape", ()))
+            if t_shape != l_shape:
+                mismatched.append(
+                    f"{prefix.rstrip('/')} (ckpt {l_shape} vs model {t_shape})")
+                return target
+            return jax.numpy.asarray(loaded, dtype=target.dtype)
+        loaded = loaded if isinstance(loaded, dict) else {}
+        out = {}
+        for k, tv in target.items():
+            out[k] = graft(tv, loaded.get(k), f"{prefix}{k}/")
+        for k in loaded:
+            if k not in target:
+                unexpected.append(f"{prefix}{k}")
+        return out
+
+    updates: Dict[str, Any] = {}
+    for field_name in ("g_params", "g_stats", "d_params", "d_stats"):
+        tv = getattr(init_state, field_name)
+        if tv is None:
+            continue
+        updates[field_name] = graft(tv, raw.get(field_name), f"{field_name}/")
+    if raw.get("step") is not None:
+        updates["step"] = jax.numpy.asarray(raw["step"])
+    if verbose and (missing or unexpected or mismatched):
+        print(f"tolerant restore from {path}:")
+        for label, names in (("missing (kept init)", missing),
+                             ("unexpected (ignored)", unexpected),
+                             ("shape mismatch (kept init)", mismatched)):
+            for n in names:
+                print(f"  {label}: {n}")
+    return init_state.replace(**updates)
+
+
 def load_config(path) -> Config:
     from ..config import from_json
 
@@ -52,29 +110,43 @@ def load_config(path) -> Config:
 
 @dataclass
 class Monitor:
-    """One monitored quantity (mode=min), like a Lightning ModelCheckpoint."""
+    """One monitored quantity (mode=min), like a Lightning ModelCheckpoint.
+    Keeps the `top_k` best (value, path) entries, best first."""
 
     metric: str
     prefix: str
-    best: float = float("inf")
-    best_path: Optional[str] = None
+    top_k: int = 1
+    top: List[Tuple[float, str]] = field(default_factory=list)
+
+    def improves(self, val: float) -> bool:
+        return len(self.top) < self.top_k or val < self.top[-1][0]
+
+    def best_path(self) -> Optional[str]:
+        return self.top[0][1] if self.top else None
 
 
 class TopKCheckpointManager:
-    """Keeps the best checkpoint per monitor (save_top_k=1 x 3 monitors,
-    GAN_final.py:448-472) plus a rolling `last` for resume."""
+    """Keeps the best checkpoint(s) per monitor (ModelCheckpoint x 3,
+    GAN_final.py:448-472; save_top_k = cfg.train.keep_top_k) plus a rolling
+    `last` for resume. Monitors are meant to be checked on EVERY step's
+    metrics (Lightning evaluates each step; saving only happens on
+    improvement)."""
 
     def __init__(self, ckpt_dir, cfg: Optional[Config] = None,
-                 monitors: Optional[List[Tuple[str, str]]] = None):
+                 monitors: Optional[List[Tuple[str, str]]] = None,
+                 top_k: Optional[int] = None):
         self.dir = Path(ckpt_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.cfg = cfg
+        if top_k is None:
+            top_k = cfg.train.keep_top_k if cfg is not None else 1
         monitors = monitors or [
             ("g_loss", "gen"),
             ("g_recon_loss", "gen_recon"),
             ("d_loss", "dis"),
         ]
-        self.monitors = [Monitor(metric=m, prefix=p) for m, p in monitors]
+        self.monitors = [Monitor(metric=m, prefix=p, top_k=max(1, top_k))
+                         for m, p in monitors]
         self._load_index()
 
     def _index_path(self) -> Path:
@@ -85,41 +157,53 @@ class TopKCheckpointManager:
             data = json.loads(self._index_path().read_text())
             for mon in self.monitors:
                 if mon.metric in data:
-                    mon.best = data[mon.metric]["best"]
-                    mon.best_path = data[mon.metric]["path"]
+                    entry = data[mon.metric]
+                    if "top" in entry:
+                        mon.top = [(float(v), p) for v, p in entry["top"]]
+                    elif entry.get("path"):  # pre-top-k index format
+                        mon.top = [(float(entry["best"]), entry["path"])]
 
     def _save_index(self) -> None:
         self._index_path().write_text(json.dumps({
-            m.metric: {"best": m.best, "path": m.best_path}
+            m.metric: {"top": [[v, p] for v, p in m.top]}
             for m in self.monitors
         }, indent=2))
 
-    def maybe_save(self, state: GANTrainState, metrics: Dict[str, float],
+    def _referenced(self) -> set:
+        return {p for m in self.monitors for _, p in m.top}
+
+    def maybe_save(self, state, metrics: Dict[str, float],
                    step: int) -> List[str]:
-        """Check every monitor; save under a loss-valued name on improvement."""
+        """Check every monitor against this step's metrics; save under a
+        loss-valued name on improvement. `state` may be the host state or a
+        zero-arg callable returning it (so the device->host fetch only
+        happens when some monitor actually improves)."""
+        improved = [
+            mon for mon in self.monitors
+            if mon.metric in metrics and mon.improves(float(metrics[mon.metric]))
+        ]
+        if not improved:
+            return []
+        if callable(state):
+            state = state()
         saved = []
-        for mon in self.monitors:
-            if mon.metric not in metrics:
-                continue
+        for mon in improved:
             val = float(metrics[mon.metric])
-            if val < mon.best:
-                parts = [f"{mon.prefix}_step={step}"]
-                for k in ("g_loss", "g_recon_loss", "d_loss"):
-                    if k in metrics:
-                        parts.append(f"{k}={float(metrics[k]):.2f}")
-                name = "-".join(parts)
-                path = self.dir / name
-                save_state(path, state, self.cfg)
-                if mon.best_path and Path(mon.best_path).exists() and not any(
-                    m.best_path == mon.best_path for m in self.monitors
-                    if m is not mon
-                ):
-                    shutil.rmtree(mon.best_path, ignore_errors=True)
-                mon.best = val
-                mon.best_path = str(path)
-                saved.append(str(path))
-        if saved:
-            self._save_index()
+            parts = [f"{mon.prefix}_step={step}"]
+            for k in ("g_loss", "g_recon_loss", "d_loss"):
+                if k in metrics:
+                    parts.append(f"{k}={float(metrics[k]):.2f}")
+            path = self.dir / "-".join(parts)
+            save_state(path, state, self.cfg)
+            mon.top.append((val, str(path)))
+            mon.top.sort(key=lambda vp: vp[0])
+            dropped = [p for _, p in mon.top[mon.top_k:]]
+            mon.top = mon.top[: mon.top_k]
+            for p in dropped:
+                if p not in self._referenced() and Path(p).exists():
+                    shutil.rmtree(p, ignore_errors=True)
+            saved.append(str(path))
+        self._save_index()
         return saved
 
     def save_last(self, state: GANTrainState, step: int) -> str:
@@ -135,5 +219,5 @@ class TopKCheckpointManager:
     def best_for(self, metric: str) -> Optional[str]:
         for m in self.monitors:
             if m.metric == metric:
-                return m.best_path
+                return m.best_path()
         return None

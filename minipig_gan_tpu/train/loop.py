@@ -29,6 +29,7 @@ from ..data.pipeline import (
     CachedDataset,
     DevicePrefetcher,
     PairPreprocessor,
+    WrapAroundLoader,
 )
 from ..data.structure import load_structure, split_pairs
 from ..data.synthetic import make_bids_dataset
@@ -95,8 +96,24 @@ def train(cfg: Config, resume: bool = True,
             f"{cfg.train.batch_size} (full batches are required for the "
             f"static-shape step) — add data or lower train.batch_size."
         )
-    loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=cfg.data.shuffle,
-                         seed=cfg.train.seed, drop_last=True)
+    if cfg.data.wrap_last_batch:
+        # the reference's CustomDataLoader semantics (test_runs/GAN.py:204-233):
+        # sequential full-size batches, wrapping to index 0 instead of
+        # dropping the final partial batch
+        import math as _math
+
+        wrap = WrapAroundLoader(train_ds, cfg.train.batch_size)
+        steps_per_epoch = _math.ceil(len(train_ds) / cfg.train.batch_size)
+
+        class _WrapEpochs:
+            def epoch(self):
+                return (next(wrap) for _ in range(steps_per_epoch))
+
+        loader = _WrapEpochs()
+    else:
+        loader = BatchLoader(train_ds, cfg.train.batch_size,
+                             shuffle=cfg.data.shuffle,
+                             seed=cfg.train.seed, drop_last=True)
 
     # example volumes for the per-epoch snapshot (reference uses first test and
     # first train batch, GAN_final.py:476-478)
@@ -131,10 +148,12 @@ def train(cfg: Config, resume: bool = True,
                 metrics = jax.device_get(metrics)
             step += 1
             logger.log_metrics(metrics, step)
+            # loss monitors are evaluated on EVERY step's (already host-side)
+            # metrics, Lightning ModelCheckpoint parity (GAN_final.py:448-472);
+            # the device->host state fetch only happens on improvement
+            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
             if step % cfg.train.checkpoint_every == 0:
-                host_state = jax.device_get(state)
-                ckpts.maybe_save(host_state, metrics, step)
-                ckpts.save_last(host_state, step)
+                ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:
                 break
         epoch += 1
