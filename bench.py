@@ -10,12 +10,17 @@ GAN_final.py configuration) and prints ONE JSON line:
 "slices/sec" counts 128 axial slices per volume (the BASELINE.json
 north-star unit). The reference publishes no throughput numbers
 (BASELINE.md: "No throughput numbers are published anywhere"), so
-vs_baseline is reported as 1.0 by definition against an absent baseline;
-detail fields carry ms/step, vols/s and the inference rate.
+vs_baseline is reported against THIS framework's round-1 measurement
+(196.33 slices/s/chip, BENCH_r01.json) — our own recorded baseline.
+
+Speed-of-light accounting: `flops_per_step` comes from XLA's cost analysis
+of the compiled step; `achieved_tflops` = flops/time and `mfu` divides by
+the chip's peak for the compute dtype (v5e: 197 bf16 TFLOP/s).
 
 Env knobs: BENCH_BATCH (default 4, auto-falls back 2/1 on OOM),
 BENCH_STEPS (default 10), BENCH_SPATIAL (default 128), BENCH_MODE
-(gan|generator_only, default gan).
+(gan|generator_only|patch, default gan), BENCH_REUSE_G=1 (fast mode:
+reuse the G-step forward in the D step), BENCH_ACCUM.
 """
 
 from __future__ import annotations
@@ -44,6 +49,10 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "gan")
     b0 = int(os.environ.get("BENCH_BATCH", "4"))
     a0 = int(os.environ.get("BENCH_ACCUM", "1"))
+    reuse_g = os.environ.get("BENCH_REUSE_G", "0") == "1"
+    # round-1 measured throughput on this config (BENCH_r01.json) — the
+    # reference itself publishes no number to compare against
+    r1_baseline = 196.33
     # (batch, accum) fallback chain: keep the reference batch size via
     # gradient accumulation before shrinking the batch itself
     candidates = [(b0, a0), (4, 2), (4, 4), (2, 1), (2, 2), (1, 1)]
@@ -61,7 +70,8 @@ def main() -> None:
         try:
             cfg = Config(train=TrainConfig(mode=mode, compute_dtype="bfloat16",
                                            batch_size=batch_size,
-                                           accum_steps=accum))
+                                           accum_steps=accum,
+                                           reuse_g_forward=reuse_g))
             tr = GANTrainer(cfg)
             batch = make_batch(batch_size)
             t_init0 = time.time()
@@ -69,16 +79,27 @@ def main() -> None:
             jax.block_until_ready(jax.tree.leaves(state.g_params)[0])
             init_s = time.time() - t_init0
 
+            t_c0 = time.time()
             step = jax.jit(tr.train_step, donate_argnums=0)
+            compiled = step.lower(state, batch).compile()
+            compile_s = time.time() - t_c0
+            # speed-of-light accounting from XLA's own cost model
+            flops_per_step = 0.0
+            try:
+                cost = compiled.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops_per_step = float(cost.get("flops", 0.0) or 0.0)
+            except Exception as ce:  # cost model unavailable on some backends
+                print(f"# cost_analysis unavailable: {ce!r}", file=sys.stderr)
+            step = compiled
             # NOTE: on tunneled/async backends block_until_ready can return
             # before remote execution completes; a scalar device_get (float())
             # is the only reliable sync. Per-step time is measured
             # DIFFERENTIALLY — (time of 2N steps+fetch) - (N steps+fetch))/N —
             # so constant fetch/queue overhead cancels.
-            t_c0 = time.time()
             state, metrics = step(state, batch)
             float(metrics["g_loss"])
-            compile_s = time.time() - t_c0
 
             def timed_steps(state, n):
                 t0 = time.time()
@@ -105,11 +126,19 @@ def main() -> None:
             i_2n = timed_inf(2 * n_steps)
             inf_dt = max((i_2n - i_n) / n_steps, 1e-9)
 
+            value = round(batch_size * spatial / dt, 2)
+            # v5e peak: 197 bf16 TFLOP/s per chip
+            peak_tflops = 197.0 if "v5" in str(jax.devices()[0]) else 0.0
+            achieved_tflops = flops_per_step / dt / 1e12
             result = {
                 "metric": "train_slices_per_sec_per_chip",
-                "value": round(batch_size * spatial / dt, 2),
+                "value": value,
                 "unit": "slices/s/chip",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(value / r1_baseline, 3),
+                "flops_per_step": flops_per_step,
+                "achieved_tflops": round(achieved_tflops, 2),
+                "mfu": (round(achieved_tflops / peak_tflops, 4)
+                        if peak_tflops and flops_per_step else None),
                 "train_ms_per_step": round(dt * 1e3, 1),
                 "train_vols_per_s": round(batch_size / dt, 3),
                 "infer_vols_per_s": round(batch_size / inf_dt, 3),
@@ -117,6 +146,7 @@ def main() -> None:
                 "accum_steps": accum,
                 "spatial": spatial,
                 "mode": mode,
+                "reuse_g_forward": reuse_g,
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
                 "device": str(jax.devices()[0]),

@@ -48,6 +48,9 @@ class PatchConfig:
 
     roi_size: Tuple[int, int, int] = (16, 16, 16)
     num_samples: int = 128
+    # route the in-step patch crop through the Pallas DMA kernel
+    # (ops/pallas/patches_kernel.py) instead of the XLA gather; TPU only
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)
@@ -69,6 +72,12 @@ class TrainConfig:
     # 'gan' = full pix2pix loop; 'generator_only' = L1 regression slice
     # (BASELINE.json config 1); 'patch' = patch+perceptual loop (config 3).
     mode: str = "gan"
+    # Fast mode (deviates from reference semantics, off by default): the D
+    # sub-step reuses the G sub-step's generated volumes instead of re-running
+    # the generator with the just-updated params (GAN_final.py:289-291 runs a
+    # fresh forward) — saves one full generator forward of the three per step;
+    # G BN stats then update once per step instead of twice.
+    reuse_g_forward: bool = False
     # numeric policy: params fp32; compute dtype for convs.
     compute_dtype: str = "bfloat16"
     log_every: int = 10
@@ -94,6 +103,11 @@ class DataConfig:
     upper_percentile: float = 99.0
     b_min: float = -1.0
     b_max: float = 1.0
+    # on-device preprocessing (SURVEY.md §7 config 4): resample + percentile
+    # normalization run jit-compiled on the accelerator instead of host
+    # numpy/C++; the diagonal-grid resample uses the fused Pallas kernel on
+    # TPU (one HBM read vs three einsum passes)
+    device_preprocess: bool = False
     cache_num: int = 500
     num_workers: int = 8
     shuffle: bool = True

@@ -52,11 +52,14 @@ class PairPreprocessor:
     thread through (transforms.py:30-44) for later NIfTI-out."""
 
     def __init__(self, cfg: DataConfig, grid: Optional[GridSpec] = None,
-                 reader: Optional[Callable] = None, use_native: bool = True):
+                 reader: Optional[Callable] = None, use_native: bool = True,
+                 device: Optional[bool] = None):
         self.cfg = cfg
         self.grid = grid or human_canonical_grid(
             tuple(cfg.spatial_size), cfg.fov_mm
         )
+        self.device = (bool(getattr(cfg, "device_preprocess", False))
+                       if device is None else device)
         self._native = False
         if reader is None:
             if use_native:
@@ -67,6 +70,23 @@ class PairPreprocessor:
                     self._native = True
             reader = reader or read_nifti
         self.reader = reader
+
+    def _device_resample_normalize(self, vol, meta) -> np.ndarray:
+        """Config-4 path: resample + percentile window on the accelerator —
+        the fused Pallas separable kernel on TPU (diagonal grids), XLA
+        separable/gather elsewhere, then the on-device percentile window."""
+        import jax
+
+        from ..ops.resample import resample as resample_device
+
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        res = resample_device(vol, meta, self.grid, use_pallas=use_pallas)
+        norm = jax.jit(
+            scale_intensity_range_percentiles, static_argnums=(1, 2, 3, 4)
+        )(res, float(self.cfg.lower_percentile),
+          float(self.cfg.upper_percentile),
+          float(self.cfg.b_min), float(self.cfg.b_max))
+        return np.asarray(jax.device_get(norm), np.float32)
 
     def _resample(self, vol, meta):
         if self._native:
@@ -94,8 +114,11 @@ class PairPreprocessor:
             if key not in pair:
                 continue
             vol, meta = self.reader(pair[key])
-            res = self._resample(vol, meta)
-            norm = self._normalize(res)
+            if self.device:
+                norm = self._device_resample_normalize(vol, meta)
+            else:
+                res = self._resample(vol, meta)
+                norm = self._normalize(res)
             out[key] = norm[..., None]  # AddChanneld -> (D, H, W, 1)
             if keep_meta:
                 out[f"{key}_meta"] = meta

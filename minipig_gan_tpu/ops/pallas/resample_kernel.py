@@ -41,16 +41,19 @@ def _kernel(slab, tz, z0_ref, wz_local_ref, wy_ref, wx_ref, vol_ref, out_ref,
         wz_local, vol_slab.reshape(slab, y_in * x_in),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(-1, y_in, x_in)
     tmp = jax.lax.dot_general(                       # (TZ, X, Yo)
         tmp, wy_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     tmp = jax.lax.dot_general(                       # (TZ, Yo, Xo)
         tmp, wx_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # after the two dot_generals the layout is (TZ, Yo, Xo): the second
     # contraction consumed X (axis 1 of (TZ, X, Yo)).

@@ -12,6 +12,7 @@ Shapes are static: (B, D, H, W, C) -> (B * num_samples, *roi, C).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -49,19 +50,60 @@ def extract_patches(vols: jax.Array, corners: jax.Array, roi: Tuple[int, int, in
     return patches.reshape(-1, *roi, ch)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def extract_patches_fast(vols: jax.Array, corners: jax.Array,
+                         roi: Tuple[int, int, int]) -> jax.Array:
+    """`extract_patches` with the Pallas DMA kernel as the forward pass
+    (ops/pallas/patches_kernel.py) and the XLA scatter-add transpose as the
+    backward pass — so patch-mode training can flow generator gradients
+    through the crop while the hot forward gather runs as per-patch DMAs.
+    Compiled on TPU; interpreted on CPU (tests). Volumes whose minor extent
+    W*C is not a multiple of the 128-lane tile can't be DMA-sliced by the
+    kernel (Mosaic alignment) and transparently take the XLA gather."""
+    from .pallas.patches_kernel import extract_patches_pallas
+
+    if (vols.shape[3] * vols.shape[4]) % 128 != 0:
+        return extract_patches(vols, corners, roi)
+    interpret = jax.devices()[0].platform == "cpu"
+    return extract_patches_pallas(vols, corners, roi, interpret=interpret)
+
+
+def _patches_fwd(vols, corners, roi):
+    return extract_patches_fast(vols, corners, roi), (vols, corners)
+
+
+def _patches_bwd(roi, res, g):
+    vols, corners = res
+    # the VJP of a pure gather is a scatter-add of the cotangents at the same
+    # corners; reuse XLA's transpose of the dynamic_slice formulation (the
+    # primal forward value is dead code XLA eliminates)
+    _, vjp = jax.vjp(lambda v: extract_patches(v, corners, roi), vols)
+    return (vjp(g.astype(vols.dtype))[0], None)
+
+
+extract_patches_fast.defvjp(_patches_fwd, _patches_bwd)
+
+
 def random_patch_pairs(
     rng: jax.Array,
     generated: jax.Array,
     real: jax.Array,
     roi: Tuple[int, int, int] = (16, 16, 16),
     num_samples: int = 128,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Same random ROIs applied to the generated and ground-truth volumes."""
+    """Same random ROIs applied to the generated and ground-truth volumes.
+
+    `use_pallas=True` routes the crop through the TPU DMA kernel
+    (differentiable via extract_patches_fast); the default XLA gather path
+    runs everywhere."""
     assert generated.shape == real.shape
     b = generated.shape[0]
     spatial = generated.shape[1:4]
     corners = sample_patch_corners(rng, b, spatial, roi, num_samples)
+    extract = extract_patches_fast if use_pallas else (
+        lambda v, c, r: extract_patches(v, c, r))
     return (
-        extract_patches(generated, corners, roi),
-        extract_patches(real, corners, roi),
+        extract(generated, corners, roi),
+        extract(real, corners, roi),
     )

@@ -147,9 +147,13 @@ def separable_resample(vol: jax.Array, weights_zyx: Tuple[jax.Array, jax.Array, 
     vol: (Z, Y, X); weights_zyx: (Wz (Zo, Z), Wy (Yo, Y), Wx (Xo, X)).
     """
     wz, wy, wx = weights_zyx
-    v = jnp.einsum("ax,zyx->zya", wx, vol)
-    v = jnp.einsum("by,zya->zba", wy, v)
-    v = jnp.einsum("cz,zba->cba", wz, v)
+    # HIGHEST precision: the MXU's default bf16 rounding costs ~1e-3 on
+    # preprocessing data (measured on v5e); resampling is a once-per-volume
+    # cached op, so exactness wins.
+    hp = jax.lax.Precision.HIGHEST
+    v = jnp.einsum("ax,zyx->zya", wx, vol, precision=hp)
+    v = jnp.einsum("by,zya->zba", wy, v, precision=hp)
+    v = jnp.einsum("cz,zba->cba", wz, v, precision=hp)
     return v
 
 
@@ -262,18 +266,35 @@ def resample_numpy(
 
 
 def resample(
-    vol: np.ndarray | jax.Array, input_meta: ImageMeta, grid: GridSpec
+    vol: np.ndarray | jax.Array, input_meta: ImageMeta, grid: GridSpec,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Resample one (Z, Y, X) volume onto `grid`; auto-selects the separable
-    MXU path when the folded affine is diagonal."""
+    MXU path when the folded affine is diagonal.
+
+    `use_pallas=True` runs the diagonal case through the fused Pallas kernel
+    (ops/pallas/resample_kernel.py) — one HBM read of the input instead of
+    the three passes of the einsum formulation; compiled on TPU, interpreted
+    elsewhere (tests)."""
     m, t = resample_affine(input_meta, grid)
     if _is_diagonal(m):
         zo, yo, xo = grid.size_zyx
         nz, ny, nx = vol.shape
-        wx = jnp.asarray(_axis_weights(xo, nx, m[0, 0], t[0]))
-        wy = jnp.asarray(_axis_weights(yo, ny, m[1, 1], t[1]))
-        wz = jnp.asarray(_axis_weights(zo, nz, m[2, 2], t[2]))
-        return separable_resample(jnp.asarray(vol, jnp.float32), (wz, wy, wx))
+        wx = _axis_weights(xo, nx, m[0, 0], t[0])
+        wy = _axis_weights(yo, ny, m[1, 1], t[1])
+        wz = _axis_weights(zo, nz, m[2, 2], t[2])
+        if use_pallas:
+            from .pallas.resample_kernel import separable_resample_pallas
+
+            interpret = jax.devices()[0].platform == "cpu"
+            return separable_resample_pallas(
+                jnp.asarray(vol, jnp.float32), (wz, wy, wx),
+                interpret=interpret,
+            )
+        return separable_resample(
+            jnp.asarray(vol, jnp.float32),
+            (jnp.asarray(wz), jnp.asarray(wy), jnp.asarray(wx)),
+        )
     return trilinear_gather(
         jnp.asarray(vol, jnp.float32), jnp.asarray(m), jnp.asarray(t), grid.size_zyx
     )

@@ -206,6 +206,7 @@ class GANTrainer:
         use_perceptual = use_patches and self.cfg.discriminator.use_perceptual
         roi = self.cfg.patch.roi_size
         n_samples = self.cfg.patch.num_samples
+        pallas_patches = self.cfg.patch.use_pallas
 
         # Gradient accumulation: the batch is split into `accum_steps`
         # microbatches processed sequentially under lax.scan, so activation
@@ -226,6 +227,8 @@ class GANTrainer:
         zero_g_grads = jax.tree.map(jnp.zeros_like, state.g_params)
         zero_d_grads = jax.tree.map(jnp.zeros_like, state.d_params)
 
+        reuse_g = self.cfg.train.reuse_g_forward
+
         # ---- generator sub-step (optimizer_idx == 0) ----
         def g_micro(carry, xs):
             g_stats, d_stats, grad_acc = carry
@@ -235,7 +238,8 @@ class GANTrainer:
                 gen, g_upd = self._g_apply(g_params, g_stats, t1_mb)
                 if use_patches:
                     gen_d, real_d = random_patch_pairs(
-                        rng_mb, gen, t2_mb, roi, n_samples)
+                        rng_mb, gen, t2_mb, roi, n_samples,
+                        use_pallas=pallas_patches)
                 else:
                     gen_d, real_d = gen, t2_mb
                 fake_logits, acts_fake, d_stats1 = self._d_apply(
@@ -248,14 +252,16 @@ class GANTrainer:
                 ls = L.generator_loss(
                     fake_logits, gen_d, real_d, acts_fake, acts_real,
                     use_perceptual)
-                return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2)
+                return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2, gen)
 
-            (_, (ls, g_stats, d_stats)), grads = jax.value_and_grad(
+            (_, (ls, g_stats, d_stats, gen)), grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(state.g_params)
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
-            return (g_stats, d_stats, grad_acc), ls
+            gen_out = (jax.lax.stop_gradient(gen) if reuse_g
+                       else jnp.zeros((), gen.dtype))
+            return (g_stats, d_stats, grad_acc), (ls, gen_out)
 
-        (g_stats, d_stats, g_grads), g_ls = jax.lax.scan(
+        (g_stats, d_stats, g_grads), (g_ls, gen_stack) = jax.lax.scan(
             g_micro, (state.g_stats, state.d_stats, zero_g_grads),
             (t1_m, t2_m, g_rngs))
         g_grads = jax.tree.map(lambda g: g / accum, g_grads)
@@ -267,16 +273,22 @@ class GANTrainer:
 
         # ---- discriminator sub-step (optimizer_idx == 1) ----
         # Fresh G forward with the UPDATED generator, detached
-        # (GAN_final.py:289-291); G BN stats update a second time.
+        # (GAN_final.py:289-291); G BN stats update a second time. With
+        # train.reuse_g_forward the G-step's (pre-update) volumes are reused
+        # instead — one generator forward saved per step.
         def d_micro(carry, xs):
             g_stats, d_stats, grad_acc = carry
-            t1_mb, t2_mb, rng_mb = xs
-            gen2, g_upd2 = self._g_apply(g_params, g_stats, t1_mb)
-            gen2 = jax.lax.stop_gradient(gen2)
-            g_stats = g_upd2["batch_stats"]
+            t1_mb, t2_mb, rng_mb, gen_prev = xs
+            if reuse_g:
+                gen2 = gen_prev
+            else:
+                gen2, g_upd2 = self._g_apply(g_params, g_stats, t1_mb)
+                gen2 = jax.lax.stop_gradient(gen2)
+                g_stats = g_upd2["batch_stats"]
             if use_patches:
                 gen_d2, real_d2 = random_patch_pairs(
-                    rng_mb, gen2, t2_mb, roi, n_samples)
+                    rng_mb, gen2, t2_mb, roi, n_samples,
+                    use_pallas=pallas_patches)
             else:
                 gen_d2, real_d2 = gen2, t2_mb
 
@@ -294,7 +306,8 @@ class GANTrainer:
             return (g_stats, d_stats, grad_acc), ls
 
         (g_stats, d_stats, d_grads), d_ls = jax.lax.scan(
-            d_micro, (g_stats, d_stats, zero_d_grads), (t1_m, t2_m, d_rngs))
+            d_micro, (g_stats, d_stats, zero_d_grads),
+            (t1_m, t2_m, d_rngs, gen_stack))
         d_grads = jax.tree.map(lambda g: g / accum, d_grads)
         d_updates, d_opt_state = self.d_tx.update(
             d_grads, state.d_opt_state, state.d_params

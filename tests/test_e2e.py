@@ -116,3 +116,24 @@ def test_psnr_ssim_cli(trained, capsys):
     out = capsys.readouterr().out
     assert "Average PSNR t2 vs t2 gen:" in out
     assert "Average SSIM t2 vs t2 gen:" in out
+
+
+def test_minipig_sliding_window(trained):
+    """--sliding-window path: ROI-windowed generator with gaussian blending
+    (the reference's dormant hook, minipig_inference.py:110-114)."""
+    from minipig_gan_tpu.data.nifti import read_nifti
+    from minipig_gan_tpu.eval.minipig import run_minipig_inference
+
+    cfg, state, ckpts, log_dir = trained
+    t1_path = next((log_dir / "synthetic_data").rglob("*T1w.nii.gz"))
+    out_path = run_minipig_inference(
+        str(log_dir / "checkpoints" / "last"), str(t1_path),
+        out_dir=str(log_dir / "minipig_sw"),
+        sliding_window=(8, 8, 8), sw_overlap=0.25,
+    )
+    vol, meta = read_nifti(out_path)
+    assert vol.shape == tuple(cfg.data.spatial_size)
+    assert np.isfinite(vol).all()
+    # windows cover the whole volume -> no untouched voxels (output of tanh
+    # generator on finite input is nonzero a.e.)
+    assert np.abs(vol).max() > 0

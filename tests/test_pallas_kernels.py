@@ -62,3 +62,75 @@ def test_resample_kernel_ragged_tiles():
     got = separable_resample_pallas(jnp.asarray(vol), (wz, wy, wx), tz=4,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4)
+
+
+def test_extract_patches_fast_grad_matches_xla():
+    """extract_patches_fast (pallas fwd + scatter-add bwd custom_vjp) must
+    produce the same value AND gradient as the XLA gather formulation."""
+    from minipig_gan_tpu.ops.patches import extract_patches_fast
+
+    rs = np.random.RandomState(4)
+    vols = jnp.asarray(rs.rand(2, 24, 24, 24, 1).astype(np.float32))
+    corners = sample_patch_corners(jax.random.PRNGKey(2), 2, (24, 24, 24),
+                                   (8, 8, 8), 6)
+
+    def loss_fast(v):
+        p = extract_patches_fast(v, corners, (8, 8, 8))
+        return jnp.sum(p ** 2)
+
+    def loss_xla(v):
+        p = extract_patches(v, corners, (8, 8, 8))
+        return jnp.sum(p ** 2)
+
+    v_fast, g_fast = jax.value_and_grad(loss_fast)(vols)
+    v_xla, g_xla = jax.value_and_grad(loss_xla)(vols)
+    np.testing.assert_allclose(float(v_fast), float(v_xla), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_xla),
+                               atol=1e-5)
+
+
+def test_device_preprocess_matches_host():
+    """DataConfig.device_preprocess routes resample+normalize on-device
+    (config 4); results must match the host numpy pipeline."""
+    from minipig_gan_tpu.config import DataConfig
+    from minipig_gan_tpu.data.pipeline import PairPreprocessor
+    from minipig_gan_tpu.data.synthetic import synthetic_pair
+    from minipig_gan_tpu.data.nifti import write_nifti
+    import tempfile
+    from pathlib import Path
+
+    t1, t2, meta = synthetic_pair(shape_zyx=(20, 22, 24), seed=5)
+    with tempfile.TemporaryDirectory() as d:
+        p1 = Path(d) / "t1.nii.gz"
+        p2 = Path(d) / "t2.nii.gz"
+        write_nifti(p1, t1, meta)
+        write_nifti(p2, t2, meta)
+        cfg = DataConfig(spatial_size=(16, 16, 16))
+        pair = {"t1w": str(p1), "t2w": str(p2)}
+        host = PairPreprocessor(cfg, use_native=False, device=False)(pair)
+        dev = PairPreprocessor(cfg, use_native=False, device=True)(pair)
+    for k in ("t1w", "t2w"):
+        assert dev[k].shape == host[k].shape == (16, 16, 16, 1)
+        np.testing.assert_allclose(dev[k], host[k], atol=2e-3)
+
+
+@pytest.mark.skipif("MINIPIG_TPU_TESTS" not in __import__("os").environ,
+                    reason="real-TPU kernel parity (set MINIPIG_TPU_TESTS=1)")
+def test_pallas_compiled_on_tpu():
+    """Non-interpret parity on the real chip, in a clean subprocess (this
+    test process is pinned to the CPU backend by conftest)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{repo}:" + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tpu_tests" / "pallas_parity.py")],
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    print(proc.stdout, proc.stderr)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
