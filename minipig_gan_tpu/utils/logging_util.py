@@ -45,6 +45,9 @@ class MetricLogger:
     def log_volume(self, tag: str, vol, step: int) -> None:
         if self._tb is not None:
             self._tb.volume_slices(tag, vol, step)
+            # reference also logs an axial-sweep animated GIF per epoch
+            # (test_runs/GAN.py:455-462, add_animated_gif(max_out=300))
+            self._tb.animated_gif(f"{tag}/gif", vol, step)
 
     def close(self) -> None:
         self._jsonl.close()

@@ -65,3 +65,33 @@ def test_inference_review_grouping(tmp_path):
     write_nifti(tmp_path / "caseA_T2w_t2_truth.nii.gz", t2, meta)
     page = inference_review(tmp_path)
     assert page and Path(page).exists()
+
+
+def test_animated_gif_roundtrip(tmp_path):
+    """encode_gif produces a valid animated GIF whose decoded frames match
+    the input exactly (PIL oracle) — the add_animated_gif(max_out=300)
+    parity (test_runs/GAN.py:455-462)."""
+    import io
+
+    from PIL import Image
+
+    from minipig_gan_tpu.utils.tb_writer import TBWriter, encode_gif
+
+    rs = np.random.RandomState(0)
+    frames = (rs.rand(5, 12, 16) * 255).astype(np.uint8)
+    gif = encode_gif(frames, fps=10)
+    im = Image.open(io.BytesIO(gif))
+    assert im.format == "GIF"
+    assert getattr(im, "n_frames", 1) == 5
+    for i in range(5):
+        im.seek(i)
+        decoded = np.asarray(im.convert("L"))
+        np.testing.assert_array_equal(decoded, frames[i])
+
+    # writer path: event file grows and stays parseable (gif > header size)
+    w = TBWriter(tmp_path)
+    vol = rs.rand(8, 12, 16, 1).astype(np.float32) * 2 - 1
+    w.animated_gif("gen/gif", vol, step=1, max_out=4)
+    w.close()
+    ev = list(tmp_path.glob("events.out.tfevents.*"))
+    assert ev and ev[0].stat().st_size > 500
