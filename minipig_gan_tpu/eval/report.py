@@ -76,6 +76,42 @@ def boxplot_png(out_path, series: Dict[str, Sequence[float]],
     return str(out_path)
 
 
+def loss_curve_png(metrics_jsonl, out_path,
+                   keys: Sequence[str] = ("g_recon_loss", "g_loss", "d_loss"),
+                   smooth: int = 20) -> Optional[str]:
+    """Training-loss curves from a metrics.jsonl (the TensorBoard-scalar
+    analogue as a committed artifact); no-op if matplotlib absent."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    rows = [json.loads(l) for l in Path(metrics_jsonl).read_text().splitlines()]
+    if not rows:
+        return None
+    fig, axes = plt.subplots(1, len(keys), figsize=(4 * len(keys), 3.2))
+    if len(keys) == 1:
+        axes = [axes]
+    steps = [r.get("step", i) for i, r in enumerate(rows)]
+    for ax, k in zip(axes, keys):
+        vals = np.asarray([r.get(k, np.nan) for r in rows], np.float64)
+        ax.plot(steps, vals, lw=0.4, alpha=0.35)
+        if smooth > 1 and len(vals) > smooth:
+            kern = np.ones(smooth) / smooth
+            sm = np.convolve(vals, kern, mode="valid")
+            ax.plot(steps[smooth - 1:], sm, lw=1.5)
+        ax.set_title(k)
+        ax.set_xlabel("step")
+        if np.nanmax(vals) / max(np.nanmin(vals), 1e-9) > 50:
+            ax.set_yscale("log")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return str(out_path)
+
+
 # ---------------------------------------------------------------------------
 # volume snapshots (tri-planar montage)
 # ---------------------------------------------------------------------------

@@ -95,3 +95,17 @@ def test_animated_gif_roundtrip(tmp_path):
     w.close()
     ev = list(tmp_path.glob("events.out.tfevents.*"))
     assert ev and ev[0].stat().st_size > 500
+
+
+def test_loss_curve_png(tmp_path):
+    import json
+
+    from minipig_gan_tpu.eval.report import loss_curve_png
+
+    mj = tmp_path / "metrics.jsonl"
+    rows = [{"step": i, "g_recon_loss": 1.0 / (i + 1), "g_loss": 2.0,
+             "d_loss": 0.5} for i in range(50)]
+    mj.write_text("\n".join(json.dumps(r) for r in rows))
+    out = loss_curve_png(mj, tmp_path / "loss.png")
+    if out is not None:  # matplotlib present
+        assert (tmp_path / "loss.png").stat().st_size > 1000
