@@ -3,8 +3,10 @@
 Reference:
   * adversarial: `F.binary_cross_entropy(y_hat, y)` on sigmoid outputs
     (/root/reference/code/GAN/GAN_final.py:244-245). We compute the identical
-    quantity from logits (`bce_with_logits`) — numerically stable on TPU,
-    mathematically equal to sigmoid+BCE.
+    quantity from logits (`bce_with_logits`) — numerically stable on TPU —
+    INCLUDING torch's saturation semantics (log clamp at -100 in the value,
+    eps=1e-12 denominator in the backward), which gate the GAN's gradient
+    balance; see bce_with_logits docstring.
   * reconstruction: `F.l1_loss` (GAN_final.py:247-248).
   * perceptual: sum over discriminator activation taps of
     `F.l1_loss(act_fake, act_real) / act.numel()` — note the reference divides
@@ -22,15 +24,52 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """mean BCE computed from logits: mean(softplus(x) - t*x).
+    """mean(BCE(sigmoid(logits), targets)) with torch's EXACT saturation
+    semantics — both are load-bearing for GAN training dynamics:
 
-    Equals F.binary_cross_entropy(sigmoid(x), t) exactly (up to fp rounding):
-    -t*log(s) - (1-t)*log(1-s) = softplus(x) - t*x.
+    * forward: torch clamps each log term at -100 (aten BCE:
+      log(p).clamp(min=-100)), so a fully saturated term contributes the
+      constant 100 nats (checkpoint telemetry g_loss~100.03 in the
+      reference comes from exactly this clamp);
+    * backward: torch's BCE backward is (p - t) / max(p(1-p), 1e-12), which
+      chained through sigmoid' = p(1-p) gives
+          d/dx = (p - t) * p(1-p) / max(p(1-p), 1e-12)
+      — the adversarial gradient DECAYS once p(1-p) < 1e-12 (|logit| >~ 28)
+      and vanishes at f32 sigmoid saturation. When the discriminator
+      saturates, the reference generator therefore stops receiving
+      adversarial gradient and trains on pure L1 — how its recon loss
+      reached ~0.03 while g_adv sat at 100+. A plain from-logits BCE keeps
+      a constant +-1 gradient forever and drowns the L1 term; verified
+      against torch (value and gradient) in tests/test_losses.py.
+
+    Forward identity: -t*log(s) - (1-t)*log(1-s)
+                    = t*softplus(-x) + (1-t)*softplus(x), terms capped at 100.
     """
-    logits = logits.astype(jnp.float32)
-    targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), logits.shape)
-    return jnp.mean(jax.nn.softplus(logits) - targets * logits)
+    x = logits.astype(jnp.float32)
+    t = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
+    pos = jnp.minimum(jax.nn.softplus(-x), 100.0)  # -log(sigmoid(x))
+    neg = jnp.minimum(jax.nn.softplus(x), 100.0)   # -log(1 - sigmoid(x))
+    return jnp.mean(t * pos + (1.0 - t) * neg)
+
+
+def _bce_fwd(logits, targets):
+    return bce_with_logits(logits, targets), (logits, targets)
+
+
+def _bce_bwd(res, g):
+    logits, targets = res
+    x = logits.astype(jnp.float32)
+    t = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
+    p = jax.nn.sigmoid(x)
+    s = p * (1.0 - p)
+    grad = (p - t) * s / jnp.maximum(s, 1e-12)  # torch aten BCE backward
+    gx = (g * grad / x.size).astype(logits.dtype)
+    return (gx, None)
+
+
+bce_with_logits.defvjp(_bce_fwd, _bce_bwd)
 
 
 def bce(probs: jax.Array, targets: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -5,6 +5,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from minipig_gan_tpu.train import losses as L
@@ -67,3 +68,30 @@ def test_discriminator_loss_formula():
     out = L.discriminator_loss(rl, fl, 0.9)
     expected = (float(L.bce_with_logits(rl, 0.9)) + float(L.bce_with_logits(fl, 0.0))) / 2
     assert abs(float(out["d_loss"]) - expected) < 1e-7
+
+
+def test_bce_saturation_clamp_matches_torch():
+    """torch BCE clamps each log term at -100: in deep saturation the loss
+    saturates at 100 nats and the gradient is ZERO. Verify value AND
+    gradient against torch across moderate and saturated logits."""
+    import torch
+
+    from minipig_gan_tpu.train import losses as L
+
+    logits = np.array([-300.0, -150.0, -50.0, -3.0, 0.0, 2.5, 120.0, 400.0],
+                      np.float32)
+    for target in (1.0, 0.9, 0.0):
+        tl = torch.tensor(logits, requires_grad=True)
+        tt = torch.full((len(logits),), target)
+        tloss = torch.nn.functional.binary_cross_entropy(torch.sigmoid(tl), tt)
+        tloss.backward()
+
+        jloss, jgrad = jax.value_and_grad(
+            lambda x: L.bce_with_logits(x, target))(jnp.asarray(logits))
+        np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jgrad), tl.grad.numpy(),
+                                   rtol=1e-4, atol=1e-7)
+    # explicit: fully saturated logit -> zero gradient (the property that
+    # lets the reference's recon term win once D saturates)
+    g = jax.grad(lambda x: L.bce_with_logits(x, 1.0))(jnp.asarray([-500.0]))
+    assert float(g[0]) == 0.0
