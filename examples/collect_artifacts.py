@@ -1,0 +1,99 @@
+"""Collect committed-quality artifacts from a training run.
+
+Runs test-split inference + the full metric suite on selected checkpoints
+(the reference's quality-oracle chain: mean_absolute_error.json /
+mean_squared_error.json / MAE ratio / boxplot, BASELINE.md rows 1-6), renders
+the loss curves from metrics.jsonl, and copies the small reviewable files
+into an output directory suitable for committing.
+
+Usage: python examples/collect_artifacts.py --run runs/convergence_r2 \
+           --out results/synthetic_128 [--ckpt best_recon|last|path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from pathlib import Path
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", required=True, help="training log dir")
+    p.add_argument("--out", required=True, help="artifact output dir")
+    p.add_argument("--ckpt", default="best_recon",
+                   help="best_recon | last | explicit checkpoint path")
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path.home() / ".cache" / "jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from minipig_gan_tpu.eval.inference import run_inference
+    from minipig_gan_tpu.eval.report import boxplot_png, loss_curve_png
+
+    run_dir = Path(args.run)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if args.ckpt == "last":
+        ckpt = run_dir / "checkpoints" / "last"
+    elif args.ckpt == "best_recon":
+        idx = json.loads((run_dir / "checkpoints" / "index.json").read_text())
+        entry = idx["g_recon_loss"]
+        ckpt = Path(entry["top"][0][1] if "top" in entry else entry["path"])
+    else:
+        ckpt = Path(args.ckpt)
+    print(f"checkpoint: {ckpt}")
+
+    result = run_inference(
+        str(ckpt),
+        structure_json=str(run_dir / "synthetic_data" / "structure.json"),
+        out_dir=str(out / "inference"),
+        save_volumes=False,
+        limit=args.limit,
+    )
+    agg = result["aggregate"]
+    per_case = result["per_case"]
+
+    # reference-format artifact chain
+    for name in ("evaluation.json", "mean_absolute_error.json",
+                 "mean_squared_error.json"):
+        shutil.copy(out / "inference" / name, out / name)
+    boxplot_png(
+        out / "mae_boxplot.png",
+        {
+            "T2gen vs T2gt": [c["mae_t2gen_vs_t2gt"] for c in per_case.values()],
+            "T1gt vs T2gt (identity)": [c["mae_t1gt_vs_t2gt"]
+                                        for c in per_case.values()],
+        },
+        title="MAE per test case ([0,255] scale)", ylabel="MAE",
+    )
+    loss_curve_png(run_dir / "metrics.jsonl", out / "loss_curves.png")
+
+    summary = {
+        "checkpoint": str(ckpt.name),
+        "n_test_cases": len(per_case),
+        "mae_gen": agg.get("mae_t2gen_vs_t2gt"),
+        "mae_identity": agg.get("mae_t1gt_vs_t2gt"),
+        "mae_ratio_pct": agg.get("mae_ratio_pct"),
+        "mse_gen": agg.get("mse_t2gen_vs_t2gt"),
+        "mse_identity": agg.get("mse_t1gt_vs_t2gt"),
+        "mse_ratio_pct": agg.get("mse_ratio_pct"),
+        "psnr_gen": agg.get("psnr_t2gen_vs_t2gt"),
+        "psnr_identity": agg.get("psnr_t1gt_vs_t2gt"),
+        "ssim_gen": agg.get("ssim_t2gen_vs_t2gt"),
+        "ssim_identity": agg.get("ssim_t1gt_vs_t2gt"),
+        "mi_gen": agg.get("mi_t2gen_vs_t2gt"),
+        "mi_identity": agg.get("mi_t1gt_vs_t2gt"),
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
