@@ -82,8 +82,12 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     log_every: int = 10
     # cadence of the rolling `last` resume checkpoint; the three loss
-    # monitors are evaluated on EVERY step's metrics (Lightning
-    # ModelCheckpoint parity, GAN_final.py:448-472) and save on improvement
+    # monitors are evaluated every `monitor_every` steps (1 = every step,
+    # Lightning ModelCheckpoint parity, GAN_final.py:448-472) and save on
+    # improvement. Raise monitor_every on hosts where a full-state fetch is
+    # expensive (e.g. tunneled devices) — early training improves nearly
+    # every step and would otherwise checkpoint-storm.
+    monitor_every: int = 1
     checkpoint_every: int = 500
     # checkpoints kept per loss monitor (reference: save_top_k=1)
     keep_top_k: int = 1

@@ -63,12 +63,18 @@ def synthetic_pair(
         mask = r < scale
         t1[mask] = i1
         t2[mask] = i2
-    # smooth-ish texture + noise
+    # smooth-ish anatomy texture + independent per-modality thermal noise.
+    # The shared texture is applied only INSIDE the head: real T1w/T2w scans
+    # share anatomy, but their background is independent receiver noise —
+    # a correlated background would make the T1-identity baseline
+    # unrealistically strong (the reference's real-data identity baseline is
+    # beaten 2.7x, MAE 11.851 vs 4.365; MI(t1,t2)=0.196 << self-MI 0.445).
     tex = rng.randn(*shape_zyx).astype(np.float32)
     for axis in range(3):  # cheap blur
         tex = 0.5 * tex + 0.25 * (np.roll(tex, 1, axis) + np.roll(tex, -1, axis))
-    t1 += 0.05 * tex + 0.02 * rng.randn(*shape_zyx).astype(np.float32)
-    t2 += 0.05 * tex + 0.02 * rng.randn(*shape_zyx).astype(np.float32)
+    inside = (r < _COMPARTMENTS[0][0]).astype(np.float32)
+    t1 += 0.05 * tex * inside + 0.01 * rng.randn(*shape_zyx).astype(np.float32)
+    t2 += 0.05 * tex * inside + 0.01 * rng.randn(*shape_zyx).astype(np.float32)
     t1 *= 1000.0  # MRI-like raw intensity scale
     t2 *= 800.0
 

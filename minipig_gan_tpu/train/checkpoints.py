@@ -186,15 +186,19 @@ class TopKCheckpointManager:
             return []
         if callable(state):
             state = state()
+        # ONE checkpoint directory per step, shared by every monitor that
+        # improved on it (the state is identical; a 3x write would only cost
+        # bandwidth). The prefix records which monitors it serves.
+        prefix = "+".join(mon.prefix for mon in improved)
+        parts = [f"{prefix}_step={step}"]
+        for k in ("g_loss", "g_recon_loss", "d_loss"):
+            if k in metrics:
+                parts.append(f"{k}={float(metrics[k]):.2f}")
+        path = self.dir / "-".join(parts)
+        save_state(path, state, self.cfg)
         saved = []
         for mon in improved:
             val = float(metrics[mon.metric])
-            parts = [f"{mon.prefix}_step={step}"]
-            for k in ("g_loss", "g_recon_loss", "d_loss"):
-                if k in metrics:
-                    parts.append(f"{k}={float(metrics[k]):.2f}")
-            path = self.dir / "-".join(parts)
-            save_state(path, state, self.cfg)
             mon.top.append((val, str(path)))
             mon.top.sort(key=lambda vp: vp[0])
             dropped = [p for _, p in mon.top[mon.top_k:]]

@@ -148,10 +148,12 @@ def train(cfg: Config, resume: bool = True,
                 metrics = jax.device_get(metrics)
             step += 1
             logger.log_metrics(metrics, step)
-            # loss monitors are evaluated on EVERY step's (already host-side)
-            # metrics, Lightning ModelCheckpoint parity (GAN_final.py:448-472);
-            # the device->host state fetch only happens on improvement
-            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+            # loss monitors are evaluated on the (already host-side) metrics
+            # every monitor_every steps (1 = per-step Lightning
+            # ModelCheckpoint parity, GAN_final.py:448-472); the device->host
+            # state fetch only happens on improvement
+            if step % max(1, cfg.train.monitor_every) == 0:
+                ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
             if step % cfg.train.checkpoint_every == 0:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:
