@@ -72,14 +72,15 @@ def _bce_bwd(res, g):
 bce_with_logits.defvjp(_bce_fwd, _bce_bwd)
 
 
-def bce(probs: jax.Array, targets: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """Plain BCE on probabilities (reference-exact API for eval paths).
-
-    torch clamps each log term at -100; we clamp the input instead, which is
-    only reachable for saturated sigmoids."""
-    p = jnp.clip(probs.astype(jnp.float32), eps, 1.0 - eps)
+def bce(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Plain BCE on probabilities (reference-exact API for eval paths),
+    with torch's log clamp: each log term floored at -100 (so p=0 against
+    target 1 contributes 100 nats, exactly like F.binary_cross_entropy)."""
+    p = probs.astype(jnp.float32)
     t = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), p.shape)
-    return jnp.mean(-(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p)))
+    log_p = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
+    log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
+    return jnp.mean(-(t * log_p + (1.0 - t) * log_1p))
 
 
 def l1_loss(y_hat: jax.Array, y: jax.Array) -> jax.Array:

@@ -95,3 +95,17 @@ def test_bce_saturation_clamp_matches_torch():
     # lets the reference's recon term win once D saturates)
     g = jax.grad(lambda x: L.bce_with_logits(x, 1.0))(jnp.asarray([-500.0]))
     assert float(g[0]) == 0.0
+
+
+def test_bce_probs_saturation_matches_torch():
+    """Probabilities-API BCE with torch's -100 log clamp, incl. p=0 and p=1."""
+    import torch
+
+    from minipig_gan_tpu.train import losses as L
+
+    p = np.array([0.0, 1e-30, 0.3, 0.9, 1.0], np.float32)
+    for target in (1.0, 0.0, 0.9):
+        tt = torch.full((len(p),), target)
+        tv = float(torch.nn.functional.binary_cross_entropy(torch.tensor(p), tt))
+        jv = float(L.bce(jnp.asarray(p), target))
+        np.testing.assert_allclose(jv, tv, rtol=1e-5)
