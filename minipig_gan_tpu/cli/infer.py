@@ -11,7 +11,15 @@ from .common import add_config_args, build_config, setup_jax_cache
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
-    parser.add_argument("--ckpt", required=True, help="checkpoint directory")
+    parser.add_argument("--ckpt", required=True,
+                        help="checkpoint directory, OR a run's checkpoints/ "
+                             "dir with --monitor to pick a monitored best")
+    parser.add_argument("--monitor", default=None,
+                        choices=["g_loss", "g_recon_loss", "d_loss"],
+                        help="resolve --ckpt as a checkpoints/ dir and use "
+                             "the best checkpoint for this monitor (the "
+                             "reference hardcodes its best-g_loss path, "
+                             "inferrence.py:102)")
     parser.add_argument("--data", default=None, help="structure.json override")
     parser.add_argument("--out-dir", default=None)
     parser.add_argument("--split", default="test",
@@ -27,8 +35,19 @@ def main(argv=None) -> None:
         cfg = build_config(args)
     from ..eval.inference import run_inference
 
+    ckpt = args.ckpt
+    if args.monitor:
+        from ..train.checkpoints import TopKCheckpointManager
+
+        best = TopKCheckpointManager(ckpt).best_for(args.monitor)
+        if not best:
+            raise SystemExit(
+                f"no best checkpoint recorded for {args.monitor} in {ckpt}")
+        print(f"using best {args.monitor} checkpoint: {best}")
+        ckpt = best
+
     run_inference(
-        args.ckpt,
+        ckpt,
         structure_json=args.data,
         out_dir=args.out_dir,
         cfg=cfg,
