@@ -21,6 +21,7 @@ inferrence.py:150-162,188-199).
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -56,14 +57,18 @@ def load_trainer_state(ckpt_path, cfg: Optional[Config] = None
     return trainer, state
 
 
-def _save_case(out_dir: Path, src_path: str, postfix: str, vol_zyx: np.ndarray,
-               grid_meta) -> str:
+def _case_out_path(out_dir: Path, src_path: str, postfix: str) -> Path:
     """SaveITKImaged naming (transforms2.py:98-117):
     {out_dir}/{basename}_{postfix}.{ext}."""
     name = Path(src_path).name
     base = name.split(".")[0]
     ext = ".".join(name.split(".")[-2:]) if name.endswith(".gz") else name.split(".")[-1]
-    out = out_dir / f"{base}_{postfix}.{ext}"
+    return out_dir / f"{base}_{postfix}.{ext}"
+
+
+def _save_case(out_dir: Path, src_path: str, postfix: str, vol_zyx: np.ndarray,
+               grid_meta) -> str:
+    out = _case_out_path(out_dir, src_path, postfix)
     write_nifti(out, vol_zyx, grid_meta)
     return str(out)
 
@@ -104,15 +109,43 @@ def run_inference(
         return evaluation_suite(gen, gt, t1), (gen, gt, t1)
 
     per_case: Dict[str, Dict[str, float]] = {}
-    for i, pair in enumerate(pairs):
-        item = pre(pair, keep_meta=True)
+    mi_entries: Dict[str, List[Dict]] = {k: [] for k in
+                                         ("gen", "identity", "self")}
+    # Pipelined serving loop: host preprocessing (NIfTI read + resample +
+    # percentile window) runs in a thread pool a bounded window AHEAD of the
+    # device, and NIfTI writes are submitted behind it — the accelerator
+    # never waits on file IO. The reference's loop is fully sequential
+    # (inferrence.py:147-204); CacheDataset hid the cost only after a full
+    # first epoch.
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = max(1, min(int(cfg.data.num_workers), 4))
+    pool = ThreadPoolExecutor(n_workers + 1)
+    pairs_it = iter(pairs)
+    window: "collections.deque" = collections.deque()
+    for p in pairs[: n_workers + 1]:
+        next(pairs_it)
+        window.append((p, pool.submit(pre, p, keep_meta=True)))
+    save_futures: List = []
+
+    i = -1
+    while window:
+        i += 1
+        pair, fut = window.popleft()
+        item = fut.result()
+        nxt = next(pairs_it, None)
+        if nxt is not None:
+            window.append((nxt, pool.submit(pre, nxt, keep_meta=True)))
         t1 = jnp.asarray(item["t1w"][None])  # (1, D, H, W, 1)
         t2_gen = generate(state, t1)[0, ..., 0]
         t2_gt = jnp.asarray(item["t2w"][..., 0])
+        t_case0 = time.time()
         metrics, (gen_u8, gt_u8, t1_u8) = eval_case(
             t2_gen, t2_gt, jnp.asarray(item["t1w"][..., 0])
         )
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        case_ms = (time.time() - t_case0) * 1e3
         case_key = Path(pair["t1w"]).name.split(".")[0]
         per_case[case_key] = metrics
         print(f"[{i+1}/{len(pairs)}] {case_key}: "
@@ -120,13 +153,48 @@ def run_inference(
               f"mse={metrics['mse_t2gen_vs_t2gt']:.2f} "
               f"psnr={metrics['psnr_t2gen_vs_t2gt']:.2f} "
               f"ssim={metrics['ssim_t2gen_vs_t2gt']:.4f}")
+        gen_np, gt_np, t1_np = (np.asarray(gen_u8), np.asarray(gt_u8),
+                                np.asarray(t1_u8))
+        t1_path = gen_path = gt_path = ""
         if save_volumes:
             grid_meta = item["grid_meta"]
-            _save_case(out_dir, pair["t1w"], "", np.asarray(t1_u8), grid_meta)
-            _save_case(out_dir, pair["t1w"], "t2_inferred", np.asarray(gen_u8),
-                       grid_meta)
-            _save_case(out_dir, pair["t2w"], "t2_truth", np.asarray(gt_u8),
-                       grid_meta)
+            t1_path = str(_case_out_path(out_dir, pair["t1w"], ""))
+            gen_path = str(_case_out_path(out_dir, pair["t1w"], "t2_inferred"))
+            gt_path = str(_case_out_path(out_dir, pair["t2w"], "t2_truth"))
+            for path, vol in ((t1_path, t1_np), (gen_path, gen_np),
+                              (gt_path, gt_np)):
+                save_futures.append(
+                    pool.submit(write_nifti, Path(path), vol, grid_meta))
+        # per-pair MI records for the ImageCompare-format XML reports
+        # (code/eval/{t2_gen_vs_t2_gt,t2_gt_vs_t1_gt,t2_gt_vs_t2_gt}.xml)
+        nz = {"gen": int(np.count_nonzero(gen_np)),
+              "gt": int(np.count_nonzero(gt_np)),
+              "t1": int(np.count_nonzero(t1_np))}
+        shape = tuple(gt_np.shape)
+        for name, moving_path, moving_nz, mi_key in (
+            ("gen", gen_path, nz["gen"], "mi_t2gen_vs_t2gt"),
+            ("identity", t1_path, nz["t1"], "mi_t1gt_vs_t2gt"),
+            ("self", gt_path, nz["gt"], "mi_t2gt_vs_t2gt"),
+        ):
+            mv = gen_np if name == "gen" else (t1_np if name == "identity"
+                                               else gt_np)
+            mi_entries[name].append({
+                "fixed": gt_path or f"{case_key}_t2_truth",
+                "moving": moving_path or f"{case_key}_{name}",
+                "value": metrics[mi_key],
+                "fixed_nonzero": nz["gt"],
+                "moving_nonzero": moving_nz,
+                "intersection": int(np.count_nonzero((gt_np != 0) | (mv != 0))),
+                "ms": case_ms / 3.0,
+                "shape": shape,
+                # canonical grid spacing = FOV / size (2.0 mm at 128^3/256mm,
+                # matching the reference XMLs' voxelspacing)
+                "spacing": tuple(cfg.data.fov_mm / s for s in shape),
+            })
+
+    for f in save_futures:  # surface any writer-thread error
+        f.result()
+    pool.shutdown()
 
     report = aggregate_report(per_case)
     (out_dir / "evaluation.json").write_text(json.dumps(
@@ -143,6 +211,14 @@ def run_inference(
         for k, v in per_case.items()
     }
     (out_dir / "mean_squared_error.json").write_text(json.dumps(mse_json))
+    # MI XML reports in the reference's external-tool format (code/eval/)
+    from .report import mi_xml_report
+
+    eval_dir = out_dir / "eval"
+    for name, fname in (("gen", "t2_gen_vs_t2_gt.xml"),
+                        ("identity", "t2_gt_vs_t1_gt.xml"),
+                        ("self", "t2_gt_vs_t2_gt.xml")):
+        mi_xml_report(mi_entries[name], eval_dir / fname)
     print(json.dumps(report, indent=2))
     return {"per_case": per_case, "aggregate": report, "out_dir": str(out_dir)}
 

@@ -113,6 +113,53 @@ def loss_curve_png(metrics_jsonl, out_path,
 
 
 # ---------------------------------------------------------------------------
+# mutual-information XML report (code/eval/*.xml format)
+# ---------------------------------------------------------------------------
+
+def mi_xml_report(entries: Sequence[Dict], out_path,
+                  spacing: Sequence[float] = (2.0, 2.0, 2.0)) -> str:
+    """Write per-pair MI results in the reference's ImageCompare XML format.
+
+    The reference's MI eval artifacts (/root/reference/code/eval/
+    t2_gen_vs_t2_gt.xml etc., produced by an external BRAINS-style tool)
+    are a flat sequence of records under one <measurement> root:
+    <fixed-image/>, <moving-image/>, <metrics><MUTINF/></metrics>,
+    <time/>, <dimention/> (sic — the tool's own spelling). Each entry here:
+      {fixed, moving: filename; value: MI (nats); fixed_nonzero,
+       moving_nonzero, intersection: voxel counts; ms: wall ms;
+       shape: (D, H, W)}.
+    `intersection` is the voxel count where either volume is nonzero on the
+    shared grid (the tool's exact region convention is undocumented; ours is
+    stated here and consistent across all three reports).
+    """
+    lines = ["<measurement>"]
+    for e in entries:
+        d, h, w = e.get("shape", (128, 128, 128))
+        sp = e.get("spacing", spacing)
+        lines += [
+            f'  <fixed-image filename="{html.escape(str(e["fixed"]), quote=True)}" '
+            f'intersection="{int(e.get("intersection", 0))}" '
+            f'nonzeropoints="{int(e.get("fixed_nonzero", 0))}" />',
+            f'  <moving-image filename="{html.escape(str(e["moving"]), quote=True)}" '
+            f'intersection="{int(e.get("intersection", 0))}" '
+            f'nonzeropoints="{int(e.get("moving_nonzero", 0))}" />',
+            "  <metrics>",
+            f'    <MUTINF name="Mutual Information" symbol="MUTINF" '
+            f'type="similarity" value="{float(e["value"]):.6f}" />',
+            "  </metrics>",
+            f'  <time total-executiontime="{int(e.get("ms", 0))}" />',
+            f'  <dimention max_x="{w - 1}" max_y="{h - 1}" max_z="{d - 1}" '
+            f'voxelspacing_x="{sp[2]:.6f}" voxelspacing_y="{sp[1]:.6f}" '
+            f'voxelspacing_z="{sp[0]:.6f}" />',
+        ]
+    lines.append("</measurement>")
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text("\n".join(lines) + "\n")
+    return str(out_path)
+
+
+# ---------------------------------------------------------------------------
 # volume snapshots (tri-planar montage)
 # ---------------------------------------------------------------------------
 

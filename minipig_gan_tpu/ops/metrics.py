@@ -135,6 +135,9 @@ def evaluation_suite(
         "psnr_t2gen_vs_t2gt": psnr(t2_gt, t2_gen, data_range),
         "ssim_t2gen_vs_t2gt": ssim3d(t2_gt, t2_gen, data_range),
         "mi_t2gen_vs_t2gt": mutual_information(t2_gen, t2_gt, vmax=data_range),
+        # self-MI = entropy of the ground truth — the reference's MI ceiling
+        # anchor (code/eval/t2_gt_vs_t2_gt.xml, mean 0.445)
+        "mi_t2gt_vs_t2gt": mutual_information(t2_gt, t2_gt, vmax=data_range),
     }
     if t1_gt is not None:
         out.update(

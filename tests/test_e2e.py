@@ -86,6 +86,21 @@ def test_inference_and_reports(trained):
     names = [p.name for p in inf_dir.glob("*.nii.gz")]
     assert any("t2_inferred" in n for n in names)
     assert any("t2_truth" in n for n in names)
+    # MI XML reports in the external-tool format (code/eval/*.xml)
+    import xml.etree.ElementTree as ET
+    for fname in ("t2_gen_vs_t2_gt.xml", "t2_gt_vs_t1_gt.xml",
+                  "t2_gt_vs_t2_gt.xml"):
+        root = ET.parse(inf_dir / "eval" / fname).getroot()
+        assert root.tag == "measurement"
+        mut = root.findall("metrics/MUTINF")
+        assert len(mut) == 1  # limit=1 case
+        assert np.isfinite(float(mut[0].get("value")))
+    # self-MI (entropy ceiling) must dominate the cross-MI values
+    self_mi = float(ET.parse(inf_dir / "eval" / "t2_gt_vs_t2_gt.xml").getroot()
+                    .find("metrics/MUTINF").get("value"))
+    gen_mi = float(ET.parse(inf_dir / "eval" / "t2_gen_vs_t2_gt.xml").getroot()
+                   .find("metrics/MUTINF").get("value"))
+    assert self_mi >= gen_mi
 
 
 def test_minipig_transfer(trained):

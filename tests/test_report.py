@@ -109,3 +109,40 @@ def test_loss_curve_png(tmp_path):
     out = loss_curve_png(mj, tmp_path / "loss.png")
     if out is not None:  # matplotlib present
         assert (tmp_path / "loss.png").stat().st_size > 1000
+
+
+def test_mi_xml_report_format(tmp_path):
+    """mi_xml_report emits the reference ImageCompare XML structure
+    (code/eval/t2_gen_vs_t2_gt.xml): flat fixed/moving/metrics/time/dimention
+    records under one <measurement> root."""
+    import xml.etree.ElementTree as ET
+
+    from minipig_gan_tpu.eval.report import mi_xml_report
+
+    entries = [
+        {"fixed": "/x/t2_truth_a.nii.gz", "moving": "/x/t2_inferred_a.nii.gz",
+         "value": 0.292, "fixed_nonzero": 124104, "moving_nonzero": 28597,
+         "intersection": 520719, "ms": 742, "shape": (128, 128, 128)},
+        {"fixed": "/x/t2_truth_b.nii.gz", "moving": "/x/t2_inferred_b.nii.gz",
+         "value": 0.3017, "fixed_nonzero": 10, "moving_nonzero": 5,
+         "intersection": 12, "ms": 600, "shape": (128, 128, 128)},
+    ]
+    out = mi_xml_report(entries, tmp_path / "t2_gen_vs_t2_gt.xml")
+    root = ET.parse(out).getroot()
+    assert root.tag == "measurement"
+    fixed = root.findall("fixed-image")
+    moving = root.findall("moving-image")
+    mut = root.findall("metrics/MUTINF")
+    dim = root.findall("dimention")  # sic — the reference tool's spelling
+    times = root.findall("time")
+    assert len(fixed) == len(moving) == len(mut) == len(dim) == len(times) == 2
+    assert fixed[0].get("filename") == "/x/t2_truth_a.nii.gz"
+    assert fixed[0].get("nonzeropoints") == "124104"
+    assert fixed[0].get("intersection") == "520719"
+    assert mut[0].get("name") == "Mutual Information"
+    assert mut[0].get("symbol") == "MUTINF"
+    assert mut[0].get("type") == "similarity"
+    assert abs(float(mut[0].get("value")) - 0.292) < 1e-9
+    assert dim[0].get("max_x") == "127"
+    assert dim[0].get("voxelspacing_x") == "2.000000"
+    assert times[0].get("total-executiontime") == "742"
