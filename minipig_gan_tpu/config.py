@@ -26,7 +26,12 @@ class GeneratorConfig:
     strides: Tuple[int, ...] = (2, 2, 2)
     num_res_units: int = 2
     use_scan: bool = True
-    remat: bool = True
+    # Explicit per-UNet-block rematerialization. OFF by default: measured on
+    # the v5e chip, XLA's own scheduler fits the canonical 128^3 batch-4
+    # accum-2 GAN step in HBM without it and runs ~5% faster (221 vs 211
+    # slices/s, tpu_tests/remat_experiments.py; BENCH_NOTES.md). Turn on for
+    # configs whose activations exceed HBM (larger volumes/microbatches).
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -36,6 +41,8 @@ class DiscriminatorConfig:
 
     kind: str = "global"
     features: Tuple[int, ...] = (64, 128, 256, 256)
+    # rematerialize discriminator blocks in the backward pass (global kind)
+    remat: bool = True
     patch_features: Tuple[int, ...] = (64, 128, 256, 512)
     patch_hidden: int = 64
     use_perceptual: bool = True  # GAN.py vs GAN2.py ablation switch

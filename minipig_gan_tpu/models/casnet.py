@@ -12,10 +12,14 @@ TPU-native design choices:
   * The U-Net blocks all share one topology, so the cascade is expressed as
     `nn.scan` over stacked per-block parameters — one traced/compiled block
     body instead of six, cutting XLA compile time and HLO size ~6x.
-  * Each block is wrapped in `nn.remat` (rematerialization): only the 1-channel
-    128^3 block boundaries are kept live for the backward pass, so activation
-    memory is ~6x smaller at the cost of one extra forward — the standard
-    HBM-vs-FLOPs trade on TPU.
+  * `remat=True` wraps each block in `nn.remat` (rematerialization): only the
+    1-channel 128^3 block boundaries are kept live for the backward pass, so
+    activation memory is ~6x smaller at the cost of one extra forward — the
+    standard HBM-vs-FLOPs trade on TPU. Measured on the v5e chip, the
+    canonical batch-4/accum-2 step FITS in HBM without explicit remat (XLA's
+    scheduler handles it) and runs ~5% faster, so the config default is
+    remat=False (tpu_tests/remat_experiments.py); enable it for configs whose
+    activations genuinely exceed HBM.
   * `use_scan=False` falls back to a plain python loop of independently-named
     blocks (useful for per-block checkpoint surgery / debugging).
 """

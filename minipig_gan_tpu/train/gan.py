@@ -77,7 +77,9 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None):
         disc = None
     elif kind == "global":
         disc = GlobalDiscriminator(
-            features=cfg.discriminator.features, bn_axis_name=bn_axis_name, dtype=dtype
+            features=cfg.discriminator.features,
+            remat=cfg.discriminator.remat,
+            bn_axis_name=bn_axis_name, dtype=dtype,
         )
     elif kind == "patch":
         disc = PatchPerceptualDiscriminator(
