@@ -47,6 +47,11 @@ def main(argv=None) -> None:
         },
     )
     from ..train.loop import train
+    from ..utils.env import print_env_config
+
+    # env + resolved-config banner, the reference's print_config() analogue
+    # (GAN_final.py:441)
+    print_env_config(cfg)
 
     import contextlib
 
