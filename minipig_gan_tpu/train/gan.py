@@ -184,19 +184,39 @@ class GANTrainer:
         metrics: Dict[str, jax.Array] = {}
 
         if self.mode == "generator_only":
-            # Config-1 slice (BASELINE.json): pure L1 regression.
-            def loss_fn(g_params):
-                gen, g_upd = self._g_apply(g_params, state.g_stats, t1)
-                loss = L.l1_loss(gen, t2)
-                return loss, g_upd["batch_stats"]
+            # Config-1 slice (BASELINE.json): pure L1 regression. Uses the
+            # same microbatch-accumulation scan as the GAN modes so
+            # activation memory scales with batch/accum_steps here too.
+            accum = max(1, self.cfg.train.accum_steps)
+            b = t1.shape[0]
+            if b % accum != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {accum}")
+            mb = b // accum
+            t1_m = t1.reshape(accum, mb, *t1.shape[1:])
+            t2_m = t2.reshape(accum, mb, *t2.shape[1:])
+            zero_grads = jax.tree.map(jnp.zeros_like, state.g_params)
 
-            (loss, g_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.g_params
-            )
+            def micro(carry, xs):
+                g_stats, grad_acc = carry
+                t1_mb, t2_mb = xs
+
+                def loss_fn(g_params):
+                    gen, g_upd = self._g_apply(g_params, g_stats, t1_mb)
+                    return L.l1_loss(gen, t2_mb), g_upd["batch_stats"]
+
+                (loss, g_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.g_params)
+                return (g_stats, jax.tree.map(jnp.add, grad_acc, grads)), loss
+
+            (g_stats, grads), losses = jax.lax.scan(
+                micro, (state.g_stats, zero_grads), (t1_m, t2_m))
+            grads = jax.tree.map(lambda g: g / accum, grads)
             updates, g_opt_state = self.g_tx.update(
                 grads, state.g_opt_state, state.g_params
             )
             g_params = optax.apply_updates(state.g_params, updates)
+            loss = jnp.mean(losses)
             metrics = {"g_recon_loss": loss, "g_loss": loss}
             new_state = state.replace(
                 step=state.step + 1, rng=rng, g_params=g_params,

@@ -161,6 +161,31 @@ def test_accum_steps_equivalent_shapes_and_finite():
     assert max(jax.tree.leaves(d)) > 0
 
 
+def test_generator_only_accum_matches_full_batch():
+    """generator_only accumulation: accum_steps=2 must produce the same
+    parameter update as the full-batch step up to BN-batch-stat effects —
+    with BatchNorm the microbatch statistics differ, so compare on a batch
+    whose halves are identical (then microbatch stats == full-batch stats
+    and the grads must match to float tolerance)."""
+    cfg1 = tiny_cfg("generator_only", accum_steps=1)
+    cfg2 = tiny_cfg("generator_only", accum_steps=2)
+    half = make_batch(spatial=16, b=2, seed=3)
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+    tr1, tr2 = GANTrainer(cfg1), GANTrainer(cfg2)
+    state = tr1.init(jax.random.PRNGKey(9), batch)
+    s1, m1 = jax.jit(tr1.train_step)(state, batch)
+    s2, m2 = jax.jit(tr2.train_step)(state, batch)
+    assert abs(float(m1["g_loss"]) - float(m2["g_loss"])) < 1e-5
+    # Param comparison is through Adam, whose step-1 update is ~lr*sign(g):
+    # floating-point noise on near-zero grads (different reduction order,
+    # sum/2 vs mean-of-4) can flip signs and move a weight by O(lr)=5e-4.
+    # Bound the discrepancy well under one full step yet far above what a
+    # genuinely different gradient (e.g. unscaled sum) would produce.
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s1.g_params, s2.g_params)
+    assert max(jax.tree.leaves(diffs)) < 1e-3
+
+
 def test_accum_indivisible_batch_raises():
     cfg = tiny_cfg("gan", accum_steps=3)
     tr = GANTrainer(cfg)
