@@ -13,9 +13,13 @@ north-star unit). The reference publishes no throughput numbers
 vs_baseline is reported against THIS framework's round-1 measurement
 (196.33 slices/s/chip, BENCH_r01.json) — our own recorded baseline.
 
-Speed-of-light accounting: `flops_per_step` comes from XLA's cost analysis
-of the compiled step; `achieved_tflops` = flops/time and `mfu` divides by
-the chip's peak for the compute dtype (v5e: 197 bf16 TFLOP/s).
+Speed-of-light accounting: `flops_per_step` is the ANALYTIC per-layer
+count (utils/flops.py — XLA's cost model counts lax.scan bodies once, not
+x length x accum, undercounting the scanned CasNet ~1.5x; the raw XLA
+number is kept as `flops_per_step_xla`); `achieved_tflops` = flops/time
+and `mfu` divides by the chip's peak for the compute dtype (v5e: 197 bf16
+TFLOP/s). The discriminator's wide full-resolution VALID convs carry ~93%
+of step FLOPs (the CasNet is bandwidth-bound, not FLOP-bound).
 
 Env knobs: BENCH_BATCH (default 4, auto-falls back 2/1 on OOM),
 BENCH_STEPS (default 10), BENCH_SPATIAL (default 128), BENCH_MODE
@@ -99,6 +103,14 @@ def main() -> None:
                 flops_per_step = float(cost.get("flops", 0.0) or 0.0)
             except Exception as ce:  # cost model unavailable on some backends
                 print(f"# cost_analysis unavailable: {ce!r}", file=sys.stderr)
+            # XLA's cost model counts scan bodies ONCE (not x length x
+            # accum), undercounting the 6-block CasNet scan — use the
+            # analytic per-layer count as the MFU numerator and keep the
+            # XLA number for reference.
+            from minipig_gan_tpu.utils.flops import gan_step_flops
+
+            analytic_flops = gan_step_flops(cfg, batch_size,
+                                            (spatial,) * 3)
             step = compiled
             # NOTE: on tunneled/async backends block_until_ready can return
             # before remote execution completes; a scalar device_get (float())
@@ -136,16 +148,17 @@ def main() -> None:
             value = round(batch_size * spatial / dt, 2)
             # v5e peak: 197 bf16 TFLOP/s per chip
             peak_tflops = 197.0 if "v5" in str(jax.devices()[0]) else 0.0
-            achieved_tflops = flops_per_step / dt / 1e12
+            achieved_tflops = analytic_flops / dt / 1e12
             result = {
                 "metric": "train_slices_per_sec_per_chip",
                 "value": value,
                 "unit": "slices/s/chip",
                 "vs_baseline": round(value / r1_baseline, 3),
-                "flops_per_step": flops_per_step,
+                "flops_per_step": analytic_flops,
+                "flops_per_step_xla": flops_per_step,
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu": (round(achieved_tflops / peak_tflops, 4)
-                        if peak_tflops and flops_per_step else None),
+                        if peak_tflops and analytic_flops else None),
                 "train_ms_per_step": round(dt * 1e3, 1),
                 "train_vols_per_s": round(batch_size / dt, 3),
                 "infer_vols_per_s": round(batch_size / inf_dt, 3),

@@ -165,3 +165,43 @@ class TestMIAnchors:
         entropy = float(-(p * np.log(p)).sum())
         mi_self = float(M.mutual_information(jnp.asarray(t2), jnp.asarray(t2)))
         np.testing.assert_allclose(mi_self, entropy, rtol=1e-5)
+
+
+class TestAnalyticFlops:
+    """utils/flops.py: exact hand-computed MAC counts for small geometries
+    (XLA's cost_analysis undercounts scan bodies, so the bench relies on
+    these analytic counts for its MFU)."""
+
+    def test_conv_flops(self):
+        from minipig_gan_tpu.utils.flops import _conv_flops
+        # 4^3 output voxels x 2in x 3out x 27 taps x 2 flops/MAC
+        assert _conv_flops((4, 4, 4), 2, 3) == 2 * 64 * 2 * 3 * 27
+
+    def test_unet_small_hand_count(self):
+        from minipig_gan_tpu.utils.flops import unet3d_fwd_flops
+        # channels (2,4), strides (2,), nru=2 @8^3:
+        #  down ResUnit(1->2,s2)@4^3: 6912+13824+6912        = 27648
+        #  bottom ResUnit(2->4,s1)@4^3: 27648+55296+1024(k1) = 83968
+        #  up convT(6->1)@4^3-voxel formulation 20736 + up_ru(1->1)@8^3 27648
+        got = unet3d_fwd_flops((8, 8, 8), (2, 4), (2,), num_res_units=2)
+        assert got == 27648 + 83968 + 20736 + 27648, got
+
+    def test_global_disc_hand_count(self):
+        from minipig_gan_tpu.utils.flops import global_disc_fwd_flops
+        got = global_disc_fwd_flops((16, 16, 16), (2, 3, 4, 5))
+        assert got == 296352 + 559872 + 192000 + 2560 + 10, got
+
+    def test_canonical_step_magnitude(self):
+        """Canonical config sanity: the D dominates (wide convs at full
+        res), total within the physically plausible band for one chip."""
+        from minipig_gan_tpu.config import Config, TrainConfig
+        from minipig_gan_tpu.utils.flops import (
+            casnet_fwd_flops, gan_step_flops, global_disc_fwd_flops)
+        cfg = Config(train=TrainConfig(mode="gan", reuse_g_forward=True))
+        fg = casnet_fwd_flops((128, 128, 128))
+        fd = global_disc_fwd_flops((128, 128, 128))
+        step = gan_step_flops(cfg, 4, (128, 128, 128))
+        assert 0.1e12 < fg < 0.2e12        # ~0.145 TF per 6-UNet fwd (b=1)
+        assert 1.5e12 < fd < 2.5e12        # ~2.0 TF per D fwd (b=1)
+        assert 30e12 < step < 80e12        # ~50 TF per batch-4 step
+        assert fd > 10 * fg                # discriminator dominates (93%)
