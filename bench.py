@@ -131,14 +131,20 @@ def main() -> None:
             state, t_2n, g_val = timed_steps(state, 2 * n_steps)
             dt = max((t_2n - t_n) / n_steps, 1e-9)
 
-            # inference throughput (eval-mode generator forward)
-            gen = jax.jit(tr.generate)
-            out = gen(state, batch["t1w"])
+            # Inference throughput: the BN-folded serving forward
+            # (models/fold.py, +25% over stats-threading). SELF-FEEDING —
+            # the tunneled backend short-circuits repeated identical
+            # (executable, args) calls, so each iteration must get fresh
+            # args (generator in/out shapes match).
+            gen = tr.make_fast_generator(state)
+            x0 = batch["t1w"]
+            out = gen(x0)
             float(out[0, 0, 0, 0, 0])
             def timed_inf(n):
+                out = x0
                 t0 = time.time()
                 for _ in range(n):
-                    out = gen(state, batch["t1w"])
+                    out = gen(out.astype(x0.dtype))
                 float(out[0, 0, 0, 0, 0])
                 return time.time() - t0
             i_n = timed_inf(n_steps)

@@ -98,7 +98,15 @@ def run_inference(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     pre = PairPreprocessor(cfg.data)
-    generate = jax.jit(trainer.generate)
+    # BN-folded eval generator (models/fold.py): one fewer full-res
+    # elementwise pass per conv; falls back to the stats-threading forward
+    # for architectures the folder doesn't know.
+    try:
+        fast_gen = trainer.make_fast_generator(state)
+        generate = lambda _state, t1: fast_gen(t1)  # noqa: E731
+    except Exception as e:  # pragma: no cover — non-foldable variant
+        print(f"# BN folding unavailable ({e!r}); using unfolded forward")
+        generate = jax.jit(trainer.generate)
 
     @jax.jit
     def eval_case(t2_gen_n, t2_gt_n, t1_n):

@@ -52,18 +52,21 @@ def run_minipig_inference(
         res, cfg.data.lower_percentile, cfg.data.upper_percentile,
         cfg.data.b_min, cfg.data.b_max,
     )
+    # BN-folded serving forward (models/fold.py), stats-threading fallback
+    try:
+        predictor = trainer.make_fast_generator(state)
+    except Exception:  # pragma: no cover — non-foldable variant
+        predictor = jax.jit(lambda x: trainer.generate(state, x))
     if sliding_window is not None:
         from ..ops.sliding_window import sliding_window_inference
 
-        predictor = jax.jit(lambda x: trainer.generate(state, x))
         gen = np.asarray(jax.device_get(sliding_window_inference(
             jnp.asarray(norm[..., None]), tuple(sliding_window), predictor,
             sw_batch_size=1, overlap=sw_overlap, mode="gaussian",
         )))[..., 0]
     else:
         t1 = jnp.asarray(norm[None, ..., None])
-        gen = np.asarray(
-            jax.device_get(jax.jit(trainer.generate)(state, t1)))[0, ..., 0]
+        gen = np.asarray(jax.device_get(predictor(t1)))[0, ..., 0]
 
     name = Path(t1_path).name
     base = name.split(".")[0]

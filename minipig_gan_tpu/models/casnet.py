@@ -45,6 +45,8 @@ class CasNetGenerator(nn.Module):
     num_res_units: int = 2
     use_scan: bool = True
     remat: bool = True
+    # None = BN-free wiring for eval-time folded weights (models/fold.py)
+    norm: Optional[str] = "batch"
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -58,6 +60,7 @@ class CasNetGenerator(nn.Module):
             channels=self.channels,
             strides=self.strides,
             num_res_units=self.num_res_units,
+            norm=self.norm,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )

@@ -150,6 +150,7 @@ class _UNetLevel(nn.Module):
     kernel_size: int
     up_kernel_size: int
     is_top: bool
+    norm: Optional[str] = "batch"
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -157,7 +158,8 @@ class _UNetLevel(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         c = self.channels[0]
         s = self.strides[0]
-        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        common = dict(norm=self.norm, bn_axis_name=self.bn_axis_name,
+                      dtype=self.dtype)
         if self.num_res_units > 0:
             down = ResidualUnit(
                 c, strides=s, kernel_size=self.kernel_size,
@@ -230,6 +232,10 @@ class UNet3D(nn.Module):
     num_res_units: int = 2
     kernel_size: int = 3
     up_kernel_size: int = 3
+    # norm="batch" is the reference topology; norm=None builds the SAME
+    # wiring without BatchNorm layers — the target of eval-time BN folding
+    # (models/fold.py), where running stats are folded into conv weights.
+    norm: Optional[str] = "batch"
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -255,6 +261,7 @@ class UNet3D(nn.Module):
             kernel_size=self.kernel_size,
             up_kernel_size=self.up_kernel_size,
             is_top=True,
+            norm=self.norm,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             name="model",

@@ -174,6 +174,18 @@ class GANTrainer:
             {"params": state.g_params, "batch_stats": state.g_stats}, t1, train=False
         )
 
+    def make_fast_generator(self, state: GANTrainState):
+        """Jitted eval forward with BatchNorm folded into the conv weights
+        (models/fold.py) — removes one full-resolution elementwise pass per
+        conv, which profiling shows dominates the eval forward on TPU.
+        Numerically equal to generate() up to fold rounding."""
+        from ..models.fold import folded_generator
+
+        twin, fparams = folded_generator(
+            self.generator, state.g_params, state.g_stats)
+        return jax.jit(lambda t1: twin.apply({"params": fparams}, t1,
+                                             train=False))
+
     # -- the train step -----------------------------------------------------
 
     def train_step(

@@ -108,3 +108,67 @@ def test_unet_7level_variant_geometry():
         lambda r: m.init_with_output(r, x, train=False)[0], jax.random.PRNGKey(0)
     )
     assert out.shape == (1, 128, 128, 128, 1)
+
+
+class TestBNFolding:
+    """models/fold.py: eval-mode BN folding must reproduce the
+    stats-threading forward exactly (up to float fold rounding)."""
+
+    def _trained_like_state(self, gen, x, seed=5):
+        """Init, then give every BN layer non-trivial running stats so the
+        fold actually has something to fold."""
+        v = gen.init(jax.random.PRNGKey(seed), x, train=True)
+        rs = np.random.RandomState(seed)
+
+        def scramble(tree, is_var):
+            return jax.tree.map(
+                lambda a: jnp.asarray(
+                    (0.5 + rs.rand(*a.shape)) if is_var
+                    else rs.randn(*a.shape) * 0.3, a.dtype), tree)
+
+        stats = {}
+        for k, sub in v["batch_stats"].items():
+            stats[k] = jax.tree.map(lambda a: a, sub)
+        stats = jax.tree.map(lambda a: a, v["batch_stats"])
+        # var keys must stay positive; means arbitrary
+        def walk(t):
+            if isinstance(t, dict):
+                return {k: (scramble(x_, k == "var") if k in ("mean", "var")
+                            else walk(x_)) for k, x_ in t.items()}
+            return t
+        stats = walk(stats)
+        # scramble affine + conv params a bit too
+        params = jax.tree.map(
+            lambda a: a + jnp.asarray(rs.randn(*a.shape) * 0.05, a.dtype),
+            v["params"])
+        return params, stats
+
+    def test_folded_casnet_matches_eval_forward(self):
+        from minipig_gan_tpu.models.fold import folded_generator
+
+        gen = CasNetGenerator(n_unet_blocks=2, channels=(4, 8),
+                              strides=(2,), use_scan=True, remat=False)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 1),
+                        jnp.float32)
+        params, stats = self._trained_like_state(gen, x)
+        ref = gen.apply({"params": params, "batch_stats": stats}, x,
+                        train=False)
+        twin, fparams = folded_generator(gen, params, stats)
+        got = twin.apply({"params": fparams}, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_folded_unrolled_variant(self):
+        from minipig_gan_tpu.models.fold import folded_generator
+
+        gen = CasNetGenerator(n_unet_blocks=2, channels=(4, 8),
+                              strides=(2,), use_scan=False, remat=False)
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 16, 1),
+                        jnp.float32)
+        params, stats = self._trained_like_state(gen, x, seed=7)
+        ref = gen.apply({"params": params, "batch_stats": stats}, x,
+                        train=False)
+        twin, fparams = folded_generator(gen, params, stats)
+        got = twin.apply({"params": fparams}, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
