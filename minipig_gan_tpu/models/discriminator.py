@@ -40,18 +40,42 @@ from .layers import BatchNorm3d, Conv3d, Dense, leaky_relu
 
 
 class _DiscBlock(nn.Module):
-    """conv -> BN -> LeakyReLU(0.2), one reference discriminator block."""
+    """conv -> BN -> LeakyReLU(0.2), one reference discriminator block.
+
+    The reference's VALID convs (padding=0, GAN_final.py:165-189) produce
+    odd spatial extents (126^3, 124^3). As a STANDALONE chain on the v5e
+    those extents defeat the (8,128) tiling: 3.6 TF/s VALID vs 145.9 TF/s
+    when computed as a SAME conv whose border is cropped off
+    (tpu_tests/disc_pad_experiment.py). Cropping the interior of a
+    zero-padded conv is EXACTLY the VALID result — only the dropped border
+    rows touch the pad zeros (verified max|diff| = 0.0 on chip). Inside
+    the full jit'd train step the rewrite measures NEUTRAL (XLA's
+    in-program layout assignment already avoids the pathology;
+    BENCH_NOTES.md round-3), so this mainly protects entry-point /
+    layout-constrained contexts. Enabled for stride-1 blocks on large
+    volumes; the border arithmetic overhead is (s/(s-k+1))^3 (~5% at
+    128^3).
+    """
 
     features: int
     kernel: int
     stride: int
+    same_crop: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = Conv3d(self.features, kernel_size=self.kernel, strides=self.stride,
-                   padding=0, dtype=self.dtype, name="conv")(x)
+        if self.same_crop and self.stride == 1:
+            p = (self.kernel - 1) // 2
+            x = Conv3d(self.features, kernel_size=self.kernel,
+                       strides=self.stride, padding=p, dtype=self.dtype,
+                       name="conv")(x)
+            x = x[:, p:-p or None, p:-p or None, p:-p or None, :]
+        else:
+            x = Conv3d(self.features, kernel_size=self.kernel,
+                       strides=self.stride, padding=0, dtype=self.dtype,
+                       name="conv")(x)
         x = BatchNorm3d(axis_name=self.bn_axis_name, name="norm")(x, train)
         return leaky_relu(x, 0.2)
 
@@ -67,6 +91,8 @@ class GlobalDiscriminator(nn.Module):
 
     features: Tuple[int, ...] = (64, 128, 256, 256)
     remat: bool = True
+    # None = auto (on for volumes >= 64^3); see _DiscBlock docstring
+    same_crop: Optional[bool] = None
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -85,8 +111,13 @@ class GlobalDiscriminator(nn.Module):
         )
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        # SAME+crop rewrite (see _DiscBlock) pays off only when the tiling
+        # win dwarfs the ~(s/(s-2))^3 border arithmetic — large volumes.
+        same_crop = (min(x.shape[1:4]) >= 64 if self.same_crop is None
+                     else self.same_crop)
         for i, (f, k, s) in enumerate(specs):
-            x = block_cls(f, k, s, bn_axis_name=self.bn_axis_name,
+            x = block_cls(f, k, s, same_crop=same_crop,
+                          bn_axis_name=self.bn_axis_name,
                           dtype=self.dtype, name=f"block{i}")(x, train)
         # Flatten. torch flattens NCDHW as (C, D, H, W) row-major; our layout is
         # NDHWC. The Linear head is ours to train, so the permutation is only a

@@ -172,3 +172,22 @@ class TestBNFolding:
         got = twin.apply({"params": fparams}, x, train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_global_discriminator_same_crop_exact():
+    """The SAME+crop conv rewrite in the global D (tiling optimization,
+    tpu_tests/disc_pad_experiment.py) must be numerically identical to the
+    reference VALID formulation — same params, same logits."""
+    from minipig_gan_tpu.models import GlobalDiscriminator
+
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 64, 64, 64, 1),
+                    jnp.float32)
+    d_valid = GlobalDiscriminator(features=(4, 4, 4, 4), same_crop=False,
+                                  remat=False)
+    d_crop = GlobalDiscriminator(features=(4, 4, 4, 4), same_crop=True,
+                                 remat=False)
+    v = d_valid.init(jax.random.PRNGKey(0), x, train=False)
+    a = d_valid.apply(v, x, train=False)
+    b = d_crop.apply(v, x, train=False)  # identical param tree by design
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
