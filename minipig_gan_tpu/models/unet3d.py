@@ -242,9 +242,15 @@ class UNet3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         assert len(self.channels) >= 2, "channels must have >= 2 entries"
-        assert len(self.strides) == len(self.channels) - 1
+        # MONAI 0.4.0 silently ignores surplus strides — the reference's
+        # 4-block variant passes strides=(2,2,2,2) with 4 channels
+        # (test_runs/GAN.py:107-108); reproduce that tolerance.
+        strides = tuple(self.strides)[: len(self.channels) - 1]
+        assert len(strides) == len(self.channels) - 1, (
+            f"need {len(self.channels) - 1} strides, got {len(self.strides)}"
+        )
         total = 1
-        for s in self.strides:
+        for s in strides:
             total *= s
         for d in x.shape[1:4]:
             if d % total != 0:
@@ -256,7 +262,7 @@ class UNet3D(nn.Module):
         return _UNetLevel(
             out_channels=self.out_channels,
             channels=tuple(self.channels),
-            strides=tuple(self.strides),
+            strides=strides,
             num_res_units=self.num_res_units,
             kernel_size=self.kernel_size,
             up_kernel_size=self.up_kernel_size,

@@ -191,3 +191,14 @@ def test_global_discriminator_same_crop_exact():
     b = d_crop.apply(v, x, train=False)  # identical param tree by design
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_unet_surplus_strides_tolerated():
+    """MONAI 0.4.0 ignores surplus strides; the reference's 4-block variant
+    passes strides=(2,2,2,2) with 4 channels (test_runs/GAN.py:107-108)."""
+    m = UNet3D(channels=(4, 8, 16, 32), strides=(2, 2, 2, 2))
+    x = jnp.zeros((1, 32, 32, 32, 1))
+    out = jax.eval_shape(
+        lambda r: m.init_with_output(r, x, train=False)[0],
+        jax.random.PRNGKey(0))
+    assert out.shape == (1, 32, 32, 32, 1)
