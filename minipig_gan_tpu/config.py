@@ -87,6 +87,11 @@ class TrainConfig:
     reuse_g_forward: bool = False
     # numeric policy: params fp32; compute dtype for convs.
     compute_dtype: str = "bfloat16"
+    # Schedule conv backward passes behind an optimization barrier
+    # (ops/fastconv.py): stops XLA re-fusing the BN/LReLU backward chain
+    # into every gradient convolution (measured ~2x on in-step wgrads,
+    # BENCH_NOTES round-4). Same math, different schedule.
+    conv_grad_barrier: bool = True
     log_every: int = 10
     # cadence of the rolling `last` resume checkpoint; the three loss
     # monitors are evaluated every `monitor_every` steps (1 = every step,

@@ -99,12 +99,16 @@ class Conv3d(nn.Module):
             self.param_dtype,
         )
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
+        # ops.fastconv schedules the backward convs behind an optimization
+        # barrier (measured ~2x on in-step wgrads, BENCH_NOTES round-4);
+        # forward numerics are the same conv_general_dilated either way.
+        from ..ops import fastconv
+
+        y = fastconv.conv3d(
             x.astype(dtype),
             kernel.astype(dtype),
-            window_strides=s,
-            padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            s,
+            [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
         )
         if self.use_bias:
             bias = self.param(

@@ -1,0 +1,126 @@
+"""Conv3d with explicitly-scheduled gradients (custom_vjp).
+
+Motivation (tpu_tests/conv_budget.py + wgrad_bench.py, v5e): in the compiled
+GAN step XLA fuses each conv's weight-gradient with the elementwise backward
+chain that produces its cotangent (BatchNorm/LeakyReLU backward selects and
+reduces). The fused wgrad then runs ~2x slower than the same wgrad on a
+materialized operand — e.g. the D block1 [3,3,3,64,128] wgrad measures
+27.5 ms standalone (61 TF/s) but 57 ms inside the step. A hand-written
+Pallas im2col wgrad kernel was also measured and LOSES standalone (20 TF/s —
+Mosaic column-write relayouts dominate; ops/pallas/wgrad_kernel.py kept as
+the record of that experiment).
+
+This wrapper reproduces jax's exact conv gradients, but:
+  * passes the incoming cotangent through `lax.optimization_barrier` so the
+    elementwise chain is materialized ONCE instead of being re-fused into
+    (and recomputed inside) both the dgrad and wgrad convolutions;
+  * emits the dgrad/wgrad as plain `conv_general_dilated` calls, each free
+    to fuse with its own consumers.
+
+Both gradient formulations are validated against jax.grad of the plain conv
+in tests/test_fastconv.py. Numerics: identical math, modulo XLA fusion
+rounding (the wgrad conv accumulates exactly as XLA's transpose rule does).
+
+Replaces (TPU-native) the cuDNN conv backward used by every torch Conv3d in
+the reference (/root/reference/code/GAN/GAN_final.py:92-209).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Int3 = Tuple[int, int, int]
+
+_DIMN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _fwd_conv(x, w, strides: Int3, pads):
+    return lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=pads,
+        dimension_numbers=_DIMN)
+
+
+def conv3d_dgrad(dy, w, strides: Int3, pads, in_spatial: Int3):
+    """dx for y = conv(x, w): transposed (lhs-dilated) convolution.
+
+    Validated bit-exact against jax.grad (tpu_tests/convgrad_experiment.py,
+    tests/test_fastconv.py).
+    """
+    k = w.shape[:3]
+    lo_hi = []
+    for i in range(3):
+        o = (in_spatial[i] + pads[i][0] + pads[i][1] - k[i]) // strides[i] + 1
+        lo = k[i] - 1 - pads[i][0]
+        hi = in_spatial[i] + k[i] - 1 - ((o - 1) * strides[i] + 1) - lo
+        lo_hi.append((lo, hi))
+    wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    return lax.conv_general_dilated(
+        dy, wt, window_strides=(1, 1, 1), padding=lo_hi,
+        lhs_dilation=strides, dimension_numbers=_DIMN)
+
+
+def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
+    """dw for y = conv(x, w): batch<->feature-swapped convolution (the same
+    formulation jax's transpose rule emits)."""
+    lo_hi = []
+    for i in range(3):
+        o = dy.shape[1 + i]
+        lo = pads[i][0]
+        hi = (o - 1) * strides[i] + kernel_size[i] - x.shape[1 + i] - lo
+        lo_hi.append((lo, hi))
+    return lax.conv_general_dilated(
+        x, dy, window_strides=(1, 1, 1), padding=lo_hi,
+        rhs_dilation=strides,
+        dimension_numbers=("CDHWN", "IDHWO", "DHWNC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_op(x, w, strides: Int3, pads):
+    """conv_general_dilated(NDHWC, DHWIO) with barrier-scheduled gradients."""
+    return _fwd_conv(x, w, strides, pads)
+
+
+def _conv3d_op_fwd(x, w, strides, pads):
+    return _fwd_conv(x, w, strides, pads), (x, w)
+
+
+def _conv3d_op_bwd(strides, pads, res, g):
+    x, w = res
+    # Materialize the cotangent once: without this, XLA fuses the upstream
+    # elementwise backward chain into BOTH gradient convolutions and
+    # recomputes it per conv-tap access pattern (measured 2x on the v5e).
+    (g,) = lax.optimization_barrier((g,))
+    dx = conv3d_dgrad(g, w, strides, pads, x.shape[1:4])
+    dw = conv3d_wgrad(x, g, w.shape[:3], strides, pads)
+    return dx, dw
+
+
+conv3d_op.defvjp(_conv3d_op_fwd, _conv3d_op_bwd)
+
+
+# -- trace-time toggle --------------------------------------------------------
+# Consulted when a Conv3d layer is traced; set it BEFORE building/jitting a
+# step (GANTrainer.__init__ sets it from TrainConfig.conv_grad_barrier).
+_GRAD_BARRIER = True
+
+
+def set_grad_barrier(enabled: bool) -> None:
+    global _GRAD_BARRIER
+    _GRAD_BARRIER = bool(enabled)
+
+
+def grad_barrier_enabled() -> bool:
+    return _GRAD_BARRIER
+
+
+def conv3d(x, w, strides: Int3, pads):
+    """Entry point used by models.layers.Conv3d: barrier-scheduled gradients
+    when enabled, jax's default autodiff otherwise."""
+    if _GRAD_BARRIER:
+        return conv3d_op(x, w, tuple(strides), tuple(map(tuple, pads)))
+    return _fwd_conv(x, w, strides, pads)

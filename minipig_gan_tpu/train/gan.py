@@ -111,6 +111,9 @@ class GANTrainer:
 
     def __init__(self, cfg: Config, bn_axis_name: Optional[str] = None):
         self.cfg = cfg
+        from ..ops import fastconv
+
+        fastconv.set_grad_barrier(cfg.train.conv_grad_barrier)
         self.generator, self.discriminator = build_models(cfg, bn_axis_name)
         self.g_tx, self.d_tx = build_optimizers(cfg)
         self.mode = cfg.train.mode

@@ -1,0 +1,99 @@
+"""conv3d_op (barrier-scheduled gradients) must reproduce jax's autodiff
+exactly — same forward, same dx, same dw — for every conv geometry the
+models use (GAN_final.py:92-209 conv set)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from minipig_gan_tpu.ops import fastconv
+
+CASES = [
+    # (spatial, ci, co, k, s, p)
+    ((8, 8, 8), 1, 4, 3, 1, 1),     # CasNet in-conv (SAME)
+    ((8, 9, 10), 3, 5, 3, 1, 0),    # D stride-1 VALID, anisotropic
+    ((12, 12, 12), 4, 6, 4, 2, 0),  # D stride-2 k4 VALID
+    ((12, 11, 12), 3, 4, 3, 2, 1),  # UNet down conv k3 s2 SAME
+]
+
+
+def _plain(x, w, s, pads):
+    return lax.conv_general_dilated(
+        x, w, window_strides=s, padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@pytest.mark.parametrize("spatial,ci,co,k,s,p", CASES)
+def test_conv3d_op_grads_match_autodiff(spatial, ci, co, k, s, p):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, *spatial, ci), jnp.float32)
+    w = jnp.asarray(rs.randn(k, k, k, ci, co) * 0.2, jnp.float32)
+    strides = (s, s, s)
+    pads = [(p, p)] * 3
+    o = [(e + 2 * p - k) // s + 1 for e in spatial]
+    cot = jnp.asarray(rs.randn(2, *o, co), jnp.float32)
+
+    def loss_plain(x, w):
+        return jnp.sum(_plain(x, w, strides, pads) * cot)
+
+    def loss_op(x, w):
+        return jnp.sum(
+            fastconv.conv3d_op(x, w, strides, tuple(map(tuple, pads))) * cot)
+
+    y0 = _plain(x, w, strides, pads)
+    y1 = fastconv.conv3d_op(x, w, strides, tuple(map(tuple, pads)))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    gx0, gw0 = jax.grad(loss_plain, argnums=(0, 1))(x, w)
+    gx1, gw1 = jax.grad(loss_op, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_toggle_controls_layer_path():
+    fastconv.set_grad_barrier(False)
+    try:
+        assert not fastconv.grad_barrier_enabled()
+        # disabled path is the plain conv (no custom_vjp in the jaxpr)
+        x = jnp.zeros((1, 6, 6, 6, 2))
+        w = jnp.zeros((3, 3, 3, 2, 4))
+        jaxpr = jax.make_jaxpr(
+            lambda x, w: fastconv.conv3d(x, w, (1, 1, 1), [(1, 1)] * 3)
+        )(x, w)
+        assert "custom_vjp" not in str(jaxpr)
+    finally:
+        fastconv.set_grad_barrier(True)
+    jaxpr = jax.make_jaxpr(
+        lambda x, w: fastconv.conv3d(x, w, (1, 1, 1), [(1, 1)] * 3)
+    )(x, w)
+    assert "custom_vjp" in str(jaxpr)
+
+
+def test_conv3d_layer_grads_unchanged_by_barrier():
+    """A Conv3d module's grads are identical with the barrier on/off."""
+    from minipig_gan_tpu.models.layers import Conv3d
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 8, 8, 3), jnp.float32)
+    m = Conv3d(5, kernel_size=3, strides=1, padding=1)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return jnp.sum(jnp.square(m.apply(params, x)))
+
+    grads = {}
+    for flag in (True, False):
+        fastconv.set_grad_barrier(flag)
+        try:
+            grads[flag] = jax.grad(loss)(params, x)
+        finally:
+            fastconv.set_grad_barrier(True)
+    g_on = jax.tree.leaves(grads[True])
+    g_off = jax.tree.leaves(grads[False])
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
