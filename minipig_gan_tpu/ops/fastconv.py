@@ -64,9 +64,10 @@ def conv3d_dgrad(dy, w, strides: Int3, pads, in_spatial: Int3):
         lhs_dilation=strides, dimension_numbers=_DIMN)
 
 
-def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
-    """dw for y = conv(x, w): batch<->feature-swapped convolution (the same
-    formulation jax's transpose rule emits)."""
+def _wgrad_conv(x, dy, kernel_size: Int3, strides: Int3, pads):
+    """The batch<->feature-swapped conv formulation jax's transpose rule
+    emits. Fine for matmul-heavy channel counts; pathological for tiny ones
+    (the [3,3,3,1,1] wgrad measures ~0.03 TF/s on the v5e — 1/128 lanes)."""
     lo_hi = []
     for i in range(3):
         o = dy.shape[1 + i]
@@ -77,6 +78,88 @@ def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
         x, dy, window_strides=(1, 1, 1), padding=lo_hi,
         rhs_dilation=strides,
         dimension_numbers=("CDHWN", "IDHWO", "DHWNC"))
+
+
+def _taps(kernel_size: Int3):
+    kd, kh, kw = kernel_size
+    return [(td, th, tw) for td in range(kd)
+            for th in range(kh) for tw in range(kw)]
+
+
+def _wgrad_im2col_ci1(xp, dy, kernel_size: Int3, strides: Int3):
+    """dw[t, 0, co] via a [vox, k^3] patch matrix x one MXU dot.
+
+    Requires Ci == 1 (xp already padded): the patch matrix has only k^3
+    columns, so materializing it costs k^3 x the (single-channel) volume —
+    cheap — while the contraction runs over all voxels in the MXU K dim.
+    """
+    n = xp.shape[0]
+    o = dy.shape[1:4]
+    co = dy.shape[-1]
+    cols = []
+    for td, th, tw in _taps(kernel_size):
+        v = lax.slice(
+            xp, (0, td, th, tw, 0),
+            (n, td + (o[0] - 1) * strides[0] + 1,
+             th + (o[1] - 1) * strides[1] + 1,
+             tw + (o[2] - 1) * strides[2] + 1, 1),
+            (1, strides[0], strides[1], strides[2], 1))
+        cols.append(v.reshape(-1))
+    xc = jnp.stack(cols, axis=-1)                    # [vox, k^3]
+    dyf = dy.reshape(-1, co)                          # [vox, co]
+    dw = lax.dot_general(
+        xc, dyf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [k^3, co]
+    return dw.reshape(*kernel_size, 1, co).astype(dy.dtype)
+
+
+def _wgrad_tap_einsum(xp, dy, kernel_size: Int3, strides: Int3):
+    """dw via one [ci, co] contraction per kernel tap — k^3 streaming
+    multiply-reduce passes, no giant patch matrix. Wins when ci*co is small
+    (the conv formulation's lanes are starved anyway)."""
+    n = xp.shape[0]
+    o = dy.shape[1:4]
+    ci = xp.shape[-1]
+    parts = []
+    for td, th, tw in _taps(kernel_size):
+        v = lax.slice(
+            xp, (0, td, th, tw, 0),
+            (n, td + (o[0] - 1) * strides[0] + 1,
+             th + (o[1] - 1) * strides[1] + 1,
+             tw + (o[2] - 1) * strides[2] + 1, ci),
+            (1, strides[0], strides[1], strides[2], 1))
+        parts.append(lax.dot_general(
+            v.reshape(-1, ci), dy.reshape(-1, dy.shape[-1]),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))      # [ci, co]
+    dw = jnp.stack(parts, axis=0)
+    return dw.reshape(*kernel_size, ci, dy.shape[-1]).astype(dy.dtype)
+
+
+def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
+    """dw for y = conv(x, w), formulation routed by channel counts.
+
+    Routing is driven by on-chip measurement (tpu_tests/wgrad_formulations.py,
+    v5e): ONLY the 1->1-channel conv (CasNet up_ru unit0, the step's single
+    worst wgrad at 8.2 ms/exec) beats the conv formulation reliably — its
+    [vox, k^3] patch matrix is cheap and the conv formulation occupies 1/128
+    lanes. Everything else measured neutral-to-worse once XLA's in-step
+    fusion is accounted for (e.g. [16,16] tap-einsum: 1.4x standalone but
+    the in-step fused conv is already 2.2x faster than standalone; [16,1]
+    role-swap 0.65x; strided tap-einsum 0.26x), so those keep the swapped-
+    conv formulation. _wgrad_im2col_ci1 / _wgrad_tap_einsum are kept (and
+    tested) as measured alternatives for future shapes.
+    """
+    ci, co = x.shape[-1], dy.shape[-1]
+    if (ci == 1 and co == 1 and strides == (1, 1, 1)
+            and all(p[0] == p[1] for p in pads)):
+        psym = tuple(p[0] for p in pads)
+        xp = x
+        if any(psym):
+            xp = jnp.pad(
+                x, ((0, 0),) + tuple((p, p) for p in psym) + ((0, 0),))
+        return _wgrad_im2col_ci1(xp, dy, kernel_size, strides)
+    return _wgrad_conv(x, dy, kernel_size, strides, pads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

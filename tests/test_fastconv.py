@@ -11,11 +11,15 @@ from jax import lax
 from minipig_gan_tpu.ops import fastconv
 
 CASES = [
-    # (spatial, ci, co, k, s, p)
-    ((8, 8, 8), 1, 4, 3, 1, 1),     # CasNet in-conv (SAME)
-    ((8, 9, 10), 3, 5, 3, 1, 0),    # D stride-1 VALID, anisotropic
-    ((12, 12, 12), 4, 6, 4, 2, 0),  # D stride-2 k4 VALID
-    ((12, 11, 12), 3, 4, 3, 2, 1),  # UNet down conv k3 s2 SAME
+    # (spatial, ci, co, k, s, p) — exercises every wgrad route in fastconv:
+    ((8, 8, 8), 1, 4, 3, 1, 1),     # ci==1 im2col route (CasNet in-conv)
+    ((8, 8, 8), 1, 1, 3, 1, 1),     # ci==co==1 (up_ru unit0 conv)
+    ((8, 9, 10), 4, 1, 3, 1, 1),    # co==1 role-swap route (up-path out conv)
+    ((10, 10, 10), 1, 4, 3, 2, 1),  # ci==1, strided
+    ((8, 9, 10), 3, 5, 3, 1, 0),    # tap-einsum route, VALID anisotropic
+    ((12, 12, 12), 4, 6, 4, 2, 0),  # tap-einsum, D stride-2 k4 VALID
+    ((12, 11, 12), 3, 4, 3, 2, 1),  # tap-einsum, UNet down conv k3 s2 SAME
+    ((9, 9, 9), 4, 1, 3, 2, 1),     # co==1 but strided -> tap-einsum route
 ]
 
 
@@ -54,6 +58,25 @@ def test_conv3d_op_grads_match_autodiff(spatial, ci, co, k, s, p):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_wgrad_conv_formulation_matches_autodiff(monkeypatch):
+    """Force the swapped-conv fallback (big-channel route) on small shapes."""
+    monkeypatch.setattr(fastconv, "_TAP_EINSUM_MAX", 0)
+    rs = np.random.RandomState(2)
+    for s, p, k in ((1, 0, 3), (2, 0, 4), (2, 1, 3)):
+        x = jnp.asarray(rs.randn(2, 11, 10, 12, 3), jnp.float32)
+        o = [(e + 2 * p - k) // s + 1 for e in (11, 10, 12)]
+        dy = jnp.asarray(rs.randn(2, *o, 5), jnp.float32)
+
+        def f(w):
+            return jnp.sum(_plain(x, w, (s,) * 3, [(p, p)] * 3) * dy)
+
+        ref = jax.grad(f)(jnp.zeros((k, k, k, 3, 5)))
+        got = fastconv.conv3d_wgrad(
+            x, dy, (k,) * 3, (s,) * 3, ((p, p),) * 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_toggle_controls_layer_path():
     fastconv.set_grad_barrier(False)
     try:
@@ -74,7 +97,11 @@ def test_toggle_controls_layer_path():
 
 
 def test_conv3d_layer_grads_unchanged_by_barrier():
-    """A Conv3d module's grads are identical with the barrier on/off."""
+    """A Conv3d module's grads agree with the barrier on/off.
+
+    Not bit-identical: the routed wgrad formulations accumulate in f32 with
+    a different summation order than XLA's conv transpose rule (they are the
+    MORE accurate side — cf. wgrad_bench.py's f64 check)."""
     from minipig_gan_tpu.models.layers import Conv3d
 
     rs = np.random.RandomState(1)
@@ -96,4 +123,4 @@ def test_conv3d_layer_grads_unchanged_by_barrier():
     g_off = jax.tree.leaves(grads[False])
     for a, b in zip(g_on, g_off):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
