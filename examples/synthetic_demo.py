@@ -26,6 +26,15 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--out", default="runs/synthetic_demo")
     p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--mode", default="gan",
+                   choices=["gan", "generator_only", "patch"],
+                   help="training mode (patch = config-3 patch+perceptual)")
+    p.add_argument("--g-lr", type=float, default=None,
+                   help="generator lr override (fixture tuning)")
+    p.add_argument("--monitor-every", type=int, default=1,
+                   help="loss-monitor cadence (1 = Lightning parity; raise "
+                        "on tunneled devices where each improvement save "
+                        "fetches the full state)")
     args = p.parse_args()
 
     import jax
@@ -45,13 +54,16 @@ def main() -> None:
     cfg = Config(
         generator=GeneratorConfig(n_unet_blocks=args.blocks),
         train=TrainConfig(
+            mode=args.mode,
             batch_size=args.batch,
             accum_steps=2 if sp >= 128 else 1,
             max_steps=args.steps,
             compute_dtype="bfloat16",
             log_every=20,
             checkpoint_every=100,
+            monitor_every=args.monitor_every,
             image_log_every_epochs=0,
+            **({"g_lr": args.g_lr} if args.g_lr else {}),
         ),
         data=DataConfig(
             spatial_size=(sp, sp, sp),
@@ -73,6 +85,7 @@ def main() -> None:
     )
     agg = result["aggregate"]
     summary = {
+        "mode": args.mode,
         "steps": args.steps,
         "spatial": sp,
         "train_wall_s": round(train_s, 1),
