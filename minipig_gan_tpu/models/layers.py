@@ -162,13 +162,13 @@ class ConvTranspose3d(nn.Module):
         pads = [
             (k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(3)
         ]
-        y = jax.lax.conv_general_dilated(
+        from ..ops import fastconv
+
+        y = fastconv.conv_transpose3d(
             x.astype(dtype),
             kt.astype(dtype),
-            window_strides=(1, 1, 1),
-            padding=pads,
-            lhs_dilation=s,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            s,
+            pads,
         )
         if self.use_bias:
             bias = self.param(

@@ -179,8 +179,20 @@ def _conv3d_op_bwd(strides, pads, res, g):
     # recomputes it per conv-tap access pattern (measured 2x on the v5e).
     (g,) = lax.optimization_barrier((g,))
     dx = conv3d_dgrad(g, w, strides, pads, x.shape[1:4])
+    if _BARRIER_DX_OUT:
+        # experimental: also fence the dgrad output from its elementwise
+        # consumers (tpu_tests/barrier_experiment.py variants)
+        (dx,) = lax.optimization_barrier((dx,))
     dw = conv3d_wgrad(x, g, w.shape[:3], strides, pads)
     return dx, dw
+
+
+_BARRIER_DX_OUT = False
+
+
+def set_barrier_dx_out(enabled: bool) -> None:
+    global _BARRIER_DX_OUT
+    _BARRIER_DX_OUT = bool(enabled)
 
 
 conv3d_op.defvjp(_conv3d_op_fwd, _conv3d_op_bwd)
@@ -207,3 +219,43 @@ def conv3d(x, w, strides: Int3, pads):
     if _GRAD_BARRIER:
         return conv3d_op(x, w, tuple(strides), tuple(map(tuple, pads)))
     return _fwd_conv(x, w, strides, pads)
+
+
+# -- transposed conv ----------------------------------------------------------
+
+def _fwd_convT(x, kt, strides: Int3, pads):
+    return lax.conv_general_dilated(
+        x, kt, window_strides=(1, 1, 1), padding=pads,
+        lhs_dilation=strides, dimension_numbers=_DIMN)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_transpose3d_op(x, kt, strides: Int3, pads):
+    """The ConvTranspose3d forward (lhs-dilated conv on the flipped/swapped
+    kernel, models/layers.py) with the same barrier-scheduled backward as
+    conv3d_op. Gradients are jax's own (derived via jax.vjp of the plain
+    formulation) — only the cotangent materialization point changes."""
+    return _fwd_convT(x, kt, strides, pads)
+
+
+def _convT_fwd(x, kt, strides, pads):
+    return _fwd_convT(x, kt, strides, pads), (x, kt)
+
+
+def _convT_bwd(strides, pads, res, g):
+    x, kt = res
+    (g,) = lax.optimization_barrier((g,))
+    _, vjp = jax.vjp(lambda x_, kt_: _fwd_convT(x_, kt_, strides, pads),
+                     x, kt)
+    return vjp(g)
+
+
+conv_transpose3d_op.defvjp(_convT_fwd, _convT_bwd)
+
+
+def conv_transpose3d(x, kt, strides: Int3, pads):
+    """Entry point used by models.layers.ConvTranspose3d."""
+    if _GRAD_BARRIER:
+        return conv_transpose3d_op(
+            x, kt, tuple(strides), tuple(map(tuple, pads)))
+    return _fwd_convT(x, kt, strides, pads)

@@ -58,9 +58,8 @@ def test_conv3d_op_grads_match_autodiff(spatial, ci, co, k, s, p):
                                rtol=1e-5, atol=1e-4)
 
 
-def test_wgrad_conv_formulation_matches_autodiff(monkeypatch):
-    """Force the swapped-conv fallback (big-channel route) on small shapes."""
-    monkeypatch.setattr(fastconv, "_TAP_EINSUM_MAX", 0)
+def test_wgrad_conv_formulation_matches_autodiff():
+    """The swapped-conv formulation (default route for multi-channel convs)."""
     rs = np.random.RandomState(2)
     for s, p, k in ((1, 0, 3), (2, 0, 4), (2, 1, 3)):
         x = jnp.asarray(rs.randn(2, 11, 10, 12, 3), jnp.float32)
@@ -94,6 +93,35 @@ def test_toggle_controls_layer_path():
         lambda x, w: fastconv.conv3d(x, w, (1, 1, 1), [(1, 1)] * 3)
     )(x, w)
     assert "custom_vjp" in str(jaxpr)
+
+
+def test_conv_transpose3d_op_grads_match_autodiff():
+    rs = np.random.RandomState(3)
+    for (s, p, op_, k) in ((2, 1, 1, 3), (2, 0, 0, 4), (1, 1, 0, 3)):
+        x = jnp.asarray(rs.randn(2, 6, 7, 6, 4), jnp.float32)
+        kt = jnp.asarray(rs.randn(k, k, k, 4, 3) * 0.2, jnp.float32)
+        strides = (s, s, s)
+        pads = tuple((k - 1 - p, k - 1 - p + op_) for _ in range(3))
+
+        def plain(x, kt):
+            return jax.lax.conv_general_dilated(
+                x, kt, window_strides=(1, 1, 1), padding=pads,
+                lhs_dilation=strides,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        y0 = plain(x, kt)
+        y1 = fastconv.conv_transpose3d_op(x, kt, strides, pads)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        cot = jnp.asarray(rs.randn(*y0.shape), jnp.float32)
+        g0 = jax.grad(lambda x, kt: jnp.sum(plain(x, kt) * cot),
+                      argnums=(0, 1))(x, kt)
+        g1 = jax.grad(
+            lambda x, kt: jnp.sum(
+                fastconv.conv_transpose3d_op(x, kt, strides, pads) * cot),
+            argnums=(0, 1))(x, kt)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
 
 
 def test_conv3d_layer_grads_unchanged_by_barrier():

@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""Full-step A/B on the v5e: conv grad barrier (ops/fastconv.py) on vs off.
+"""Full-step A/B on the v5e: conv grad scheduling variants (ops/fastconv.py).
 
 Canonical config: 6-block CasNet + global D, 128^3, bf16, batch 4, accum 2,
 reuse_g. Baseline (barrier off) = 2312 ms / 221.3 slices/s (BENCH_NOTES).
 
-Usage: python tpu_tests/barrier_experiment.py [on|off ...]
+Variants: on | off | dxout (also fence each dgrad output from its
+elementwise consumers) | nodremat (barrier + discriminator.remat=False —
+does materializing D activations beat refusing them into the wgrads?)
+
+Usage: python tpu_tests/barrier_experiment.py [variant ...]
 """
 
 from __future__ import annotations
@@ -28,10 +32,17 @@ from minipig_gan_tpu.train import GANTrainer
 N_IT = 6
 
 
-def run(barrier: bool):
-    cfg = Config(train=TrainConfig(
-        mode="gan", compute_dtype="bfloat16", batch_size=4, accum_steps=2,
-        reuse_g_forward=True, conv_grad_barrier=barrier))
+def run(variant: str):
+    from minipig_gan_tpu.config import DiscriminatorConfig
+    from minipig_gan_tpu.ops import fastconv
+
+    barrier = variant != "off"
+    fastconv.set_barrier_dx_out(variant == "dxout")
+    cfg = Config(
+        discriminator=DiscriminatorConfig(remat=variant != "nodremat"),
+        train=TrainConfig(
+            mode="gan", compute_dtype="bfloat16", batch_size=4, accum_steps=2,
+            reuse_g_forward=True, conv_grad_barrier=barrier))
     tr = GANTrainer(cfg)
     rs = np.random.RandomState(0)
     t1 = np.tanh(rs.randn(4, 128, 128, 128, 1)).astype(np.float32)
@@ -58,11 +69,11 @@ def run(barrier: bool):
     state, t1_ = loop(state, N_IT)
     state, t2_ = loop(state, 2 * N_IT)
     dt = max((t2_ - t1_) / N_IT, 1e-9)
-    print(f"barrier={barrier}: {dt*1e3:7.1f} ms/step "
+    print(f"{variant}: {dt*1e3:7.1f} ms/step "
           f"({4*128/dt:.1f} slices/s)  compile={compile_s:.0f}s "
           f"temp+args={peak/2**30:.1f}GiB  g_loss@1={g0:.4f}", flush=True)
 
 
 if __name__ == "__main__":
     for v in (sys.argv[1:] or ["on", "off"]):
-        run(v == "on")
+        run(v)
