@@ -8,6 +8,12 @@ a compact results summary.
 
 Usage:  python examples/synthetic_demo.py [--steps 300] [--spatial 64]
         [--out runs/synthetic_demo]
+
+Path note: put the PACKAGE dir (not the repo root) on PYTHONPATH and keep
+any existing entries — the repo root's `code/` (reference-parity entry)
+shadows stdlib `code`, and dropping the inherited PYTHONPATH loses the TPU
+PJRT plugin:  mkdir -p /tmp/pypath && ln -s $PWD/minipig_gan_tpu /tmp/pypath/
+              PYTHONPATH=/tmp/pypath:$PYTHONPATH python examples/...
 """
 
 from __future__ import annotations
