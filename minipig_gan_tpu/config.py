@@ -92,6 +92,14 @@ class TrainConfig:
     # into every gradient convolution (measured ~2x on in-step wgrads,
     # BENCH_NOTES round-4). Same math, different schedule.
     conv_grad_barrier: bool = True
+    # Unroll the microbatch-accumulation loops as python loops instead of
+    # lax.scan (identical math and update order, equivalence-tested).
+    # MEASURED NEGATIVE at the canonical 128^3 config: even with
+    # optimization-barrier serialization between microbatches the allocator
+    # needs 19.2G vs the scan's 16.8G (31.8G unserialized) and OOMs —
+    # lax.scan's buffer reuse is load-bearing for whole-volume training.
+    # Useful only for small-volume configs; default stays scan.
+    unroll_accum: bool = False
     log_every: int = 10
     # cadence of the rolling `last` resume checkpoint; the three loss
     # monitors are evaluated every `monitor_every` steps (1 = every step,

@@ -224,8 +224,21 @@ class GANTrainer:
                     loss_fn, has_aux=True)(state.g_params)
                 return (g_stats, jax.tree.map(jnp.add, grad_acc, grads)), loss
 
-            (g_stats, grads), losses = jax.lax.scan(
-                micro, (state.g_stats, zero_grads), (t1_m, t2_m))
+            if self.cfg.train.unroll_accum:
+                carry = (state.g_stats, zero_grads)
+                losses_list = []
+                for i in range(accum):
+                    xs_i = (t1_m[i], t2_m[i])
+                    if i:
+                        carry, xs_i = jax.lax.optimization_barrier(
+                            (carry, xs_i))
+                    carry, loss_i = micro(carry, xs_i)
+                    losses_list.append(loss_i)
+                g_stats, grads = carry
+                losses = jnp.stack(losses_list)
+            else:
+                (g_stats, grads), losses = jax.lax.scan(
+                    micro, (state.g_stats, zero_grads), (t1_m, t2_m))
             grads = jax.tree.map(lambda g: g / accum, grads)
             updates, g_opt_state = self.g_tx.update(
                 grads, state.g_opt_state, state.g_params
@@ -298,9 +311,31 @@ class GANTrainer:
                        else jnp.zeros((), gen.dtype))
             return (g_stats, d_stats, grad_acc), (ls, gen_out)
 
-        (g_stats, d_stats, g_grads), (g_ls, gen_stack) = jax.lax.scan(
-            g_micro, (state.g_stats, state.d_stats, zero_g_grads),
-            (t1_m, t2_m, g_rngs))
+        # `unroll_accum` drives the same micro body with a python loop —
+        # identical math/order, but the generated volumes flow to the D
+        # sub-step as live values instead of a scanned stack, and the grad
+        # accumulators update in place instead of via dynamic-update-slice.
+        unroll = self.cfg.train.unroll_accum
+        if unroll:
+            carry = (state.g_stats, state.d_stats, zero_g_grads)
+            g_ls_list, gen_list = [], []
+            for i in range(accum):
+                xs_i = (t1_m[i], t2_m[i], g_rngs[i])
+                if i:
+                    # Serialize microbatches like the scan would: without
+                    # this, XLA overlaps both iterations' backward
+                    # temporaries and the canonical config OOMs (measured
+                    # 31.8G vs 15.75G HBM).
+                    carry, xs_i = jax.lax.optimization_barrier((carry, xs_i))
+                carry, (ls_i, gen_i) = g_micro(carry, xs_i)
+                g_ls_list.append(ls_i)
+                gen_list.append(gen_i)
+            g_stats, d_stats, g_grads = carry
+            g_ls = jax.tree.map(lambda *xs: jnp.stack(xs), *g_ls_list)
+        else:
+            (g_stats, d_stats, g_grads), (g_ls, gen_stack) = jax.lax.scan(
+                g_micro, (state.g_stats, state.d_stats, zero_g_grads),
+                (t1_m, t2_m, g_rngs))
         g_grads = jax.tree.map(lambda g: g / accum, g_grads)
         g_updates, g_opt_state = self.g_tx.update(
             g_grads, state.g_opt_state, state.g_params
@@ -342,9 +377,21 @@ class GANTrainer:
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
             return (g_stats, d_stats, grad_acc), ls
 
-        (g_stats, d_stats, d_grads), d_ls = jax.lax.scan(
-            d_micro, (g_stats, d_stats, zero_d_grads),
-            (t1_m, t2_m, d_rngs, gen_stack))
+        if unroll:
+            carry = (g_stats, d_stats, zero_d_grads)
+            d_ls_list = []
+            for i in range(accum):
+                xs_i = (t1_m[i], t2_m[i], d_rngs[i], gen_list[i])
+                if i:
+                    carry, xs_i = jax.lax.optimization_barrier((carry, xs_i))
+                carry, ls_i = d_micro(carry, xs_i)
+                d_ls_list.append(ls_i)
+            g_stats, d_stats, d_grads = carry
+            d_ls = jax.tree.map(lambda *xs: jnp.stack(xs), *d_ls_list)
+        else:
+            (g_stats, d_stats, d_grads), d_ls = jax.lax.scan(
+                d_micro, (g_stats, d_stats, zero_d_grads),
+                (t1_m, t2_m, d_rngs, gen_stack))
         d_grads = jax.tree.map(lambda g: g / accum, d_grads)
         d_updates, d_opt_state = self.d_tx.update(
             d_grads, state.d_opt_state, state.d_params
