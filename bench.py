@@ -24,7 +24,8 @@ of step FLOPs (the CasNet is bandwidth-bound, not FLOP-bound).
 Env knobs: BENCH_BATCH (default 4, auto-falls back 2/1 on OOM),
 BENCH_STEPS (default 10), BENCH_SPATIAL (default 128), BENCH_MODE
 (gan|generator_only|patch, default gan), BENCH_REUSE_G=1 (fast mode:
-reuse the G-step forward in the D step), BENCH_ACCUM.
+reuse the G-step forward in the D step), BENCH_FUSED=1 (single-scan
+joint-loss fast mode on top of reuse_g), BENCH_ACCUM.
 """
 
 from __future__ import annotations
@@ -61,6 +62,10 @@ def main() -> None:
     # both numbers). Set BENCH_REUSE_G=0 for strict reference step
     # semantics (D re-runs G with updated params).
     reuse_g = os.environ.get("BENCH_REUSE_G", "1") == "1"
+    # fused_step merges the G/D sub-steps into one joint-loss scan (XLA CSE
+    # executes the shared fake-pass forward once): measured +3.8% on top of
+    # reuse_g, identical losses (BENCH_NOTES round-4). BENCH_FUSED=0 to A/B.
+    fused = reuse_g and os.environ.get("BENCH_FUSED", "1") == "1"
     # round-1 measured throughput on this config (BENCH_r01.json) — the
     # reference itself publishes no number to compare against
     r1_baseline = 196.33
@@ -82,7 +87,8 @@ def main() -> None:
             cfg = Config(train=TrainConfig(mode=mode, compute_dtype="bfloat16",
                                            batch_size=batch_size,
                                            accum_steps=accum,
-                                           reuse_g_forward=reuse_g))
+                                           reuse_g_forward=reuse_g,
+                                           fused_step=fused))
             tr = GANTrainer(cfg)
             batch = make_batch(batch_size)
             t_init0 = time.time()
@@ -173,6 +179,7 @@ def main() -> None:
                 "spatial": spatial,
                 "mode": mode,
                 "reuse_g_forward": reuse_g,
+                "fused_step": fused,
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
                 "device": str(jax.devices()[0]),

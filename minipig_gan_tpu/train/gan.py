@@ -279,6 +279,12 @@ class GANTrainer:
 
         reuse_g = self.cfg.train.reuse_g_forward
 
+        fused = (self.cfg.train.fused_step and reuse_g and not use_patches)
+        if fused:
+            return self._fused_train_step(
+                state, rng, t1_m, t2_m, g_rngs, accum,
+                zero_g_grads, zero_d_grads, metrics)
+
         # ---- generator sub-step (optimizer_idx == 0) ----
         def g_micro(carry, xs):
             g_stats, d_stats, grad_acc = carry
@@ -408,5 +414,67 @@ class GANTrainer:
             d_params=d_params,
             d_stats=d_stats,
             d_opt_state=d_opt_state,
+        )
+        return new_state, metrics
+
+    # -- fused fast path (train.fused_step; reuse_g, global-D mode) ----------
+
+    def _fused_train_step(self, state, rng, t1_m, t2_m, g_rngs, accum,
+                          zero_g_grads, zero_d_grads, metrics):
+        """One joint loss per microbatch: grad wrt theta_g flows only through
+        the G terms (the D is frozen there via stop_gradient on its params),
+        grad wrt theta_d only through the D terms (the generated volume is
+        detached). The two fake-pass forwards are identical HLO (train-mode
+        BN output does not depend on the threaded running stats), so XLA CSE
+        executes ONE — this is the reuse_g data flow without a second scan
+        or a stacked generated-volume buffer. Update math identical to the
+        unfused reuse_g step; BN EMA order interleaves per microbatch."""
+        one_sided = self.cfg.train.one_sided_label_value
+
+        def gd_micro(carry, xs):
+            g_stats, d_stats, g_acc, d_acc = carry
+            t1_mb, t2_mb, _ = xs
+
+            def joint_loss(thetas):
+                g_params, d_params = thetas
+                gen, g_upd = self._g_apply(g_params, g_stats, t1_mb)
+                fake_logits_g, _, d_stats1 = self._d_apply(
+                    jax.lax.stop_gradient(d_params), d_stats, gen)
+                ls_g = L.generator_loss(
+                    fake_logits_g, gen, t2_mb, [], [], False)
+                gen_sg = jax.lax.stop_gradient(gen)
+                real_logits, _, d_stats2 = self._d_apply(
+                    d_params, d_stats1, t2_mb)
+                fake_logits_d, _, d_stats3 = self._d_apply(
+                    d_params, d_stats2, gen_sg)
+                ls_d = L.discriminator_loss(
+                    real_logits, fake_logits_d, one_sided)
+                total = ls_g["g_loss"] + ls_d["d_loss"]
+                return total, (ls_g, ls_d, g_upd["batch_stats"], d_stats3)
+
+            (_, (ls_g, ls_d, g_stats, d_stats)), (g_gr, d_gr) = (
+                jax.value_and_grad(joint_loss, has_aux=True)(
+                    (state.g_params, state.d_params)))
+            g_acc = jax.tree.map(jnp.add, g_acc, g_gr)
+            d_acc = jax.tree.map(jnp.add, d_acc, d_gr)
+            return (g_stats, d_stats, g_acc, d_acc), {**ls_g, **ls_d}
+
+        (g_stats, d_stats, g_grads, d_grads), ls = jax.lax.scan(
+            gd_micro,
+            (state.g_stats, state.d_stats, zero_g_grads, zero_d_grads),
+            (t1_m, t2_m, g_rngs))
+        g_grads = jax.tree.map(lambda g: g / accum, g_grads)
+        d_grads = jax.tree.map(lambda g: g / accum, d_grads)
+        g_updates, g_opt_state = self.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        d_updates, d_opt_state = self.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        metrics.update(jax.tree.map(lambda x: jnp.mean(x), ls))
+        new_state = state.replace(
+            step=state.step + 1, rng=rng,
+            g_params=g_params, g_stats=g_stats, g_opt_state=g_opt_state,
+            d_params=d_params, d_stats=d_stats, d_opt_state=d_opt_state,
         )
         return new_state, metrics

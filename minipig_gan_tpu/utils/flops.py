@@ -125,6 +125,10 @@ def gan_step_flops(cfg: Config, batch_size: int,
     d_sub = 2.0 * fd + 2.0 * fd              # 2 fwd + 2 wgrad
     if not cfg.train.reuse_g_forward:
         d_sub += fg
+    elif cfg.train.fused_step and mode == "gan":
+        # the fused joint-loss step's two fake-pass forwards are CSE'd into
+        # one executed D forward (train/gan.py::_fused_train_step)
+        d_sub -= fd
     if mode == "patch" and cfg.discriminator.use_perceptual:
         g_sub += fd                           # extra D fwd on real patches
     return (g_sub + d_sub) * batch_size

@@ -58,3 +58,40 @@ def test_unroll_accum_matches_scan(mode):
                 np.asarray(m_scan[k]), np.asarray(m_unr[k]),
                 rtol=5e-4, atol=1e-5, err_msg=f"metric {k} step {i} ({mode})")
     del s_scan, s_unr  # end-state trees carry the same amplified drift
+
+
+def test_fused_step_matches_reuse_g():
+    """train.fused_step must reproduce the reuse_g two-scan step's loss
+    trajectory (same update math; only the schedule and BN EMA interleaving
+    change — the latter never feeds back into training-mode forwards)."""
+    def run(fused):
+        cfg = Config(
+            generator=GeneratorConfig(n_unet_blocks=2, channels=(4, 8, 16),
+                                      strides=(2, 2)),
+            discriminator=DiscriminatorConfig(features=(4, 8, 8, 8)),
+            train=TrainConfig(
+                mode="gan", batch_size=4, accum_steps=2,
+                compute_dtype="float32", reuse_g_forward=True,
+                fused_step=fused,
+            ),
+        )
+        tr = GANTrainer(cfg)
+        rs = np.random.RandomState(0)
+        t1 = np.tanh(rs.randn(4, 16, 16, 16, 1)).astype(np.float32)
+        batch = {"t1w": jnp.asarray(t1),
+                 "t2w": jnp.asarray(np.clip(0.8 * t1 + 0.1, -1, 1))}
+        state = tr.init_jit(jax.random.PRNGKey(0), batch)
+        step = jax.jit(tr.train_step)
+        hist = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            hist.append(m)
+        return hist
+
+    h_ref, h_fused = run(False), run(True)
+    for i, (a, b) in enumerate(zip(h_ref, h_fused)):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]),
+                rtol=5e-4, atol=1e-5, err_msg=f"metric {k} step {i}")

@@ -42,7 +42,8 @@ def run(variant: str):
         discriminator=DiscriminatorConfig(remat=variant != "nodremat"),
         train=TrainConfig(
             mode="gan", compute_dtype="bfloat16", batch_size=4, accum_steps=2,
-            reuse_g_forward=True, conv_grad_barrier=barrier))
+            reuse_g_forward=True, conv_grad_barrier=barrier,
+            fused_step=variant == "fused"))
     tr = GANTrainer(cfg)
     rs = np.random.RandomState(0)
     t1 = np.tanh(rs.randn(4, 128, 128, 128, 1)).astype(np.float32)
