@@ -65,8 +65,10 @@ def main() -> None:
     # fused_step merges the G/D sub-steps into one joint-loss scan (XLA CSE
     # executes the shared fake-pass forward once): measured +3.8% on top of
     # reuse_g, identical losses (BENCH_NOTES round-4). BENCH_FUSED=0 to A/B.
-    fused = (reuse_g and mode == "gan"
-             and os.environ.get("BENCH_FUSED", "1") == "1")
+    # patch mode measured NEUTRAL fused (437 vs 441 slices/s — no shared
+    # forward to CSE, scan merge alone doesn't pay); default on for gan only.
+    fused = (reuse_g and os.environ.get(
+        "BENCH_FUSED", "1" if mode == "gan" else "0") == "1")
     # round-1 measured throughput on this config (BENCH_r01.json) — the
     # reference itself publishes no number to compare against
     r1_baseline = 196.33

@@ -85,13 +85,14 @@ class TrainConfig:
     # fresh forward) — saves one full generator forward of the three per step;
     # G BN stats then update once per step instead of twice.
     reuse_g_forward: bool = False
-    # Fast mode (requires reuse_g_forward; 'gan' mode only): compute the G
-    # and D updates from ONE joint loss per microbatch in a single scan —
+    # Fast mode (requires reuse_g_forward): compute the G and D updates
+    # from ONE joint loss per microbatch in a single scan. In 'gan' mode
     # the two fake-pass D forwards (G sub-step vs D sub-step) are
-    # structurally identical HLO, so XLA CSE merges them, and the
-    # generated volumes flow to the D terms as live values instead of a
-    # scanned stack. Same update math as reuse_g; BN running-stat EMA
-    # order interleaves per microbatch instead of per sub-step.
+    # structurally identical HLO, so XLA CSE merges them; in 'patch' mode
+    # the sub-steps draw independent patch sets (reference semantics) so
+    # only the scan merge applies. Generated volumes flow to the D terms
+    # as live values instead of a scanned stack. Same update math as
+    # reuse_g; BN running-stat EMA order interleaves per microbatch.
     fused_step: bool = False
     # numeric policy: params fp32; compute dtype for convs.
     compute_dtype: str = "bfloat16"

@@ -279,10 +279,10 @@ class GANTrainer:
 
         reuse_g = self.cfg.train.reuse_g_forward
 
-        fused = (self.cfg.train.fused_step and reuse_g and not use_patches)
+        fused = self.cfg.train.fused_step and reuse_g
         if fused:
             return self._fused_train_step(
-                state, rng, t1_m, t2_m, g_rngs, accum,
+                state, rng, t1_m, t2_m, g_rngs, d_rngs, accum,
                 zero_g_grads, zero_d_grads, metrics)
 
         # ---- generator sub-step (optimizer_idx == 0) ----
@@ -419,34 +419,60 @@ class GANTrainer:
 
     # -- fused fast path (train.fused_step; reuse_g, global-D mode) ----------
 
-    def _fused_train_step(self, state, rng, t1_m, t2_m, g_rngs, accum,
-                          zero_g_grads, zero_d_grads, metrics):
+    def _fused_train_step(self, state, rng, t1_m, t2_m, g_rngs, d_rngs,
+                          accum, zero_g_grads, zero_d_grads, metrics):
         """One joint loss per microbatch: grad wrt theta_g flows only through
         the G terms (the D is frozen there via stop_gradient on its params),
         grad wrt theta_d only through the D terms (the generated volume is
-        detached). The two fake-pass forwards are identical HLO (train-mode
-        BN output does not depend on the threaded running stats), so XLA CSE
-        executes ONE — this is the reuse_g data flow without a second scan
-        or a stacked generated-volume buffer. Update math identical to the
-        unfused reuse_g step; BN EMA order interleaves per microbatch."""
+        detached). In 'gan' mode the two fake-pass forwards are identical
+        HLO (train-mode BN output does not depend on the threaded running
+        stats), so XLA CSE executes ONE — the reuse_g data flow without a
+        second scan or a stacked generated-volume buffer. In 'patch' mode
+        the G and D terms draw independent patch sets (as the reference's
+        two training_step calls do), so no forward is shared — the win is
+        the single scan. Update math identical to the unfused reuse_g step;
+        BN EMA order interleaves per microbatch."""
         one_sided = self.cfg.train.one_sided_label_value
+        use_patches = self.mode == "patch"
+        use_perceptual = use_patches and self.cfg.discriminator.use_perceptual
+        roi = self.cfg.patch.roi_size
+        n_samples = self.cfg.patch.num_samples
+        pallas_patches = self.cfg.patch.use_pallas
 
         def gd_micro(carry, xs):
             g_stats, d_stats, g_acc, d_acc = carry
-            t1_mb, t2_mb, _ = xs
+            t1_mb, t2_mb, g_rng_mb, d_rng_mb = xs
 
             def joint_loss(thetas):
                 g_params, d_params = thetas
+                d_frozen = jax.lax.stop_gradient(d_params)
                 gen, g_upd = self._g_apply(g_params, g_stats, t1_mb)
-                fake_logits_g, _, d_stats1 = self._d_apply(
-                    jax.lax.stop_gradient(d_params), d_stats, gen)
+                if use_patches:
+                    gen_d, real_d = random_patch_pairs(
+                        g_rng_mb, gen, t2_mb, roi, n_samples,
+                        use_pallas=pallas_patches)
+                else:
+                    gen_d, real_d = gen, t2_mb
+                fake_logits_g, acts_fake, d_stats1 = self._d_apply(
+                    d_frozen, d_stats, gen_d)
+                acts_real = []
+                if use_perceptual:
+                    _, acts_real, d_stats1 = self._d_apply(
+                        d_frozen, d_stats1, real_d)
                 ls_g = L.generator_loss(
-                    fake_logits_g, gen, t2_mb, [], [], False)
+                    fake_logits_g, gen_d, real_d, acts_fake, acts_real,
+                    use_perceptual)
                 gen_sg = jax.lax.stop_gradient(gen)
+                if use_patches:
+                    gen_d2, real_d2 = random_patch_pairs(
+                        d_rng_mb, gen_sg, t2_mb, roi, n_samples,
+                        use_pallas=pallas_patches)
+                else:
+                    gen_d2, real_d2 = gen_sg, t2_mb
                 real_logits, _, d_stats2 = self._d_apply(
-                    d_params, d_stats1, t2_mb)
+                    d_params, d_stats1, real_d2)
                 fake_logits_d, _, d_stats3 = self._d_apply(
-                    d_params, d_stats2, gen_sg)
+                    d_params, d_stats2, gen_d2)
                 ls_d = L.discriminator_loss(
                     real_logits, fake_logits_d, one_sided)
                 total = ls_g["g_loss"] + ls_d["d_loss"]
@@ -462,7 +488,7 @@ class GANTrainer:
         (g_stats, d_stats, g_grads, d_grads), ls = jax.lax.scan(
             gd_micro,
             (state.g_stats, state.d_stats, zero_g_grads, zero_d_grads),
-            (t1_m, t2_m, g_rngs))
+            (t1_m, t2_m, g_rngs, d_rngs))
         g_grads = jax.tree.map(lambda g: g / accum, g_grads)
         d_grads = jax.tree.map(lambda g: g / accum, d_grads)
         g_updates, g_opt_state = self.g_tx.update(

@@ -60,17 +60,22 @@ def test_unroll_accum_matches_scan(mode):
     del s_scan, s_unr  # end-state trees carry the same amplified drift
 
 
-def test_fused_step_matches_reuse_g():
+@pytest.mark.parametrize("mode", ["gan", "patch"])
+def test_fused_step_matches_reuse_g(mode):
     """train.fused_step must reproduce the reuse_g two-scan step's loss
     trajectory (same update math; only the schedule and BN EMA interleaving
-    change — the latter never feeds back into training-mode forwards)."""
+    change — the latter never feeds back into training-mode forwards).
+    In patch mode the same per-micro RNG draws feed both variants."""
     def run(fused):
         cfg = Config(
             generator=GeneratorConfig(n_unet_blocks=2, channels=(4, 8, 16),
                                       strides=(2, 2)),
-            discriminator=DiscriminatorConfig(features=(4, 8, 8, 8)),
+            discriminator=DiscriminatorConfig(features=(4, 8, 8, 8),
+                                              patch_features=(4, 8, 8, 8),
+                                              patch_hidden=8),
+            patch=PatchConfig(roi_size=(12, 12, 12), num_samples=4),
             train=TrainConfig(
-                mode="gan", batch_size=4, accum_steps=2,
+                mode=mode, batch_size=4, accum_steps=2,
                 compute_dtype="float32", reuse_g_forward=True,
                 fused_step=fused,
             ),
