@@ -198,6 +198,14 @@ def write_nifti(path, vol_zyx: np.ndarray, meta: Optional[ImageMeta] = None,
             origin=np.zeros(3), spacing=np.ones(3), direction=np.eye(3)
         )
     np_dtype = np.dtype(dtype)
+    if np_dtype == np.float16:
+        # NIfTI-1 defines no float16 datatype; ITK's NiftiImageIO writes a
+        # half-precision array as float32. The reference pipeline casts
+        # tensors to float16 before saving (transforms2.py:82-87), so the
+        # observable behavior is "values truncated to half precision,
+        # stored as float32" — reproduce exactly that.
+        vol = vol.astype(np.float16)
+        np_dtype = np.dtype(np.float32)
     if np_dtype not in _DTYPE_CODES:
         raise ValueError(f"unsupported write dtype {np_dtype}")
 

@@ -127,6 +127,50 @@ def split_path_list(
     return out
 
 
+def split_path_list_reference(
+    paths: Sequence[str],
+    splits: Sequence[float] = (0.8, 0.1, 0.1),
+    subject_pattern: str = r"sub-\d+",
+) -> Dict[str, List[str]]:
+    """The reference's flat-list split semantics, exactly
+    (code/metadata/T1w_data_split.py:29-61 / T2w_data_split.py):
+
+      1. sort all paths, cut by COUNT at 80%/10% (not by subject);
+      2. repair subject leakage with precedence train > val > test — the
+         reference's three subject-moving loops (:40-61) net out to "a
+         subject with any path in the train cut keeps ALL its paths in
+         train; else any path in the val cut -> all in val; else test".
+
+    Deterministic (no shuffle — the reference has none). Output keys are
+    the reference file's: train/val/test (written to T1w_paths.json-style
+    artifacts by cli/split_paths.py)."""
+    import re
+
+    assert len(splits) == 3
+    ordered = sorted(str(p) for p in paths)
+    n = len(ordered)
+    train_num = int(n * splits[0])
+    val_num = int(n * splits[1])
+    pat = re.compile(subject_pattern)
+
+    def sub_of(p: str) -> str:
+        m = pat.search(p)
+        return m.group(0) if m else p
+
+    initial = (["train"] * train_num + ["val"] * val_num
+               + ["test"] * (n - train_num - val_num))
+    rank = {"train": 0, "val": 1, "test": 2}
+    subject_split: Dict[str, str] = {}
+    for p, s in zip(ordered, initial):
+        sub = sub_of(p)
+        if sub not in subject_split or rank[s] < rank[subject_split[sub]]:
+            subject_split[sub] = s
+    out: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
+    for p in ordered:
+        out[subject_split[sub_of(p)]].append(p)
+    return out
+
+
 def count_breakdown(structure: Dict) -> Dict[str, Dict[str, int]]:
     """Usable (t1w AND t2w) session/subject counts per split — the data audit
     of code/metrics/count_data_breakdown.py:6-21."""

@@ -249,10 +249,15 @@ class SaveNiftid(Transform):
     """SaveITKImaged naming semantics (transforms2.py:98-117):
     {out_dir}/{basename}_{postfix}.{ext}, geometry from {key}_meta."""
 
-    def __init__(self, keys: Sequence[str], out_dir, output_postfix: str = "inf"):
+    def __init__(self, keys: Sequence[str], out_dir, output_postfix: str = "inf",
+                 dtype=np.float32):
         self.keys = keys
         self.out_dir = Path(out_dir)
         self.postfix = output_postfix
+        # dtype=np.float16 reproduces the reference's half-precision save
+        # path (ToITKImaged casts tensors to float16, transforms2.py:82-87;
+        # ITK then stores float32 on disk — see data/nifti.py write_nifti)
+        self.dtype = dtype
 
     def __call__(self, data: Dict) -> Dict:
         d = dict(data)
@@ -271,6 +276,6 @@ class SaveNiftid(Transform):
                 vol = vol[0, ..., 0]
             elif vol.ndim == 4:
                 vol = vol[..., 0]
-            write_nifti(out, vol, meta)
+            write_nifti(out, vol, meta, dtype=self.dtype)
             d[f"{k}_saved_path"] = str(out)
         return d

@@ -118,3 +118,20 @@ def test_big_endian_read(tmp_path):
     pb.write_bytes(bytes(be))
     vol2, _ = read_nifti(pb)
     np.testing.assert_allclose(vol2, vol, rtol=1e-6)
+
+
+def test_float16_save(tmp_path):
+    """dtype=float16 reproduces the reference half-precision save path
+    (transforms2.py:82-87): values truncated to f16, stored as float32
+    on disk (NIfTI-1 has no half type; ITK writes float32)."""
+    import numpy as np
+    from minipig_gan_tpu.data.nifti import read_nifti, write_nifti
+
+    rs = np.random.RandomState(0)
+    vol = rs.randn(4, 5, 6).astype(np.float32) * 123.456
+    p = tmp_path / "half.nii.gz"
+    write_nifti(p, vol, dtype=np.float16)
+    back, _ = read_nifti(p)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, vol.astype(np.float16).astype(np.float32))
+    assert not np.array_equal(back, vol)  # precision actually truncated

@@ -87,3 +87,49 @@ def test_split_path_list_no_leakage():
     assert not (subs["train"] & subs["test"])
     assert not (subs["train"] & subs["validation"])
     assert len(subs["train"]) == 8
+
+
+def test_split_path_list_reference_semantics():
+    """Count-cut + train>val>test subject repair (T1w_data_split.py:29-61)."""
+    from minipig_gan_tpu.data.structure import split_path_list_reference
+
+    # 10 subjects x 2 runs = 20 sorted paths; count cut at 16/2/2 lands
+    # sub-008's two runs across val/test and sub-009's across test only.
+    paths = [f"/d/sub-{i:03d}/ses-01/sub-{i:03d}_run-{r}_T1w.nii.gz"
+             for i in range(10) for r in (1, 2)]
+    out = split_path_list_reference(paths, (0.8, 0.1, 0.1))
+    assert set(out) == {"train", "val", "test"}
+    assert sum(len(v) for v in out.values()) == 20
+    import re
+    subs = {k: {re.search(r"sub-\d+", p).group(0) for p in v}
+            for k, v in out.items()}
+    # no subject in two splits
+    assert not (subs["train"] & subs["val"])
+    assert not (subs["train"] & subs["test"])
+    assert not (subs["val"] & subs["test"])
+    # sub-008 straddled the val/test cut -> val wins (precedence)
+    assert "sub-008" in subs["val"] and len(out["val"]) == 2
+    assert subs["test"] == {"sub-009"}
+    # a subject straddling the train/val cut is pulled into train
+    out2 = split_path_list_reference(paths, (0.75, 0.15, 0.1))
+    # cut at 15 paths splits sub-007 across train/val -> train wins
+    import re as _re
+    s2 = {k: {_re.search(r"sub-\d+", p).group(0) for p in v}
+          for k, v in out2.items()}
+    assert "sub-007" in s2["train"]
+
+
+def test_split_paths_cli(tmp_path):
+    from minipig_gan_tpu.cli.split_paths import main as split_main
+    import json as _json
+
+    root = tmp_path / "bids"
+    for i in range(5):
+        d = root / f"sub-{i:03d}" / "ses-01"
+        d.mkdir(parents=True)
+        (d / f"sub-{i:03d}_T1w.nii.gz").write_bytes(b"")
+    split_main(["--image-dir", str(root), "--modality", "T1w",
+                "--out-dir", str(tmp_path)])
+    data = _json.loads((tmp_path / "T1w_paths.json").read_text())
+    assert set(data) == {"train", "val", "test"}  # reference key names
+    assert sum(len(v) for v in data.values()) == 5
