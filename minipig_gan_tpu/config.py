@@ -46,6 +46,10 @@ class DiscriminatorConfig:
     patch_features: Tuple[int, ...] = (64, 128, 256, 512)
     patch_hidden: int = 64
     use_perceptual: bool = True  # GAN.py vs GAN2.py ablation switch
+    # MONAI 0.4.0 Discriminator defaults dropout=0.25 and the reference
+    # does not override it (perceptual_test.py:131-140) — train-mode
+    # nn.Dropout between conv and PReLU ('monai' kind only).
+    monai_dropout: float = 0.25
 
 
 @dataclass(frozen=True)

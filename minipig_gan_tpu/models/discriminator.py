@@ -180,6 +180,13 @@ class MonaiDiscriminator(nn.Module):
     ``Flatten -> Linear(prod(final_shape) -> 1)`` head with sigmoid last_act.
     With norm=None each sub-convolution is conv -> PReLU (no BatchNorm).
 
+    MONAI 0.4.0's ``Discriminator.__init__`` defaults ``dropout=0.25`` and
+    the reference call does not override it — so the real module applies
+    nn.Dropout(0.25) between conv and PReLU (ADN "NDA" order with
+    norm=None) in every non-final sub-convolution at train time
+    (docs/AUDIT_MONAI_040.md §3). Reproduced here; train-mode apply needs
+    ``rngs={"dropout": ...}``; eval is deterministic.
+
     Returns LOGITS (N, 1); apply sigmoid / from-logits BCE for the
     reference's SIGMOID last_act.
     """
@@ -188,6 +195,7 @@ class MonaiDiscriminator(nn.Module):
     strides: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 1)
     num_res_units: int = 2
     kernel_size: int = 3
+    dropout: float = 0.25
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -204,13 +212,14 @@ class MonaiDiscriminator(nn.Module):
                 x = ResidualUnit(
                     c, strides=s, kernel_size=self.kernel_size,
                     subunits=self.num_res_units, last_conv_only=is_last,
-                    norm=None, bn_axis_name=self.bn_axis_name,
+                    norm=None, dropout=self.dropout,
+                    bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype, name=f"layer{i}",
                 )(x, train)
             else:
                 x = Convolution(
                     c, strides=s, kernel_size=self.kernel_size,
-                    conv_only=is_last, norm=None,
+                    conv_only=is_last, norm=None, dropout=self.dropout,
                     bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                     name=f"layer{i}",
                 )(x, train)

@@ -54,6 +54,9 @@ class Convolution(nn.Module):
     `conv_only=True` drops norm+act (used for the UNet output layer).
     `norm=None` drops only the BatchNorm (MONAI ADN with norm=None — the
     reference's MONAI Discriminator uses this, perceptual_test.py:138).
+    `dropout>0` inserts nn.Dropout between norm and act — MONAI's ADN
+    ordering "NDA" (norm, dropout, act); requires an apply-time
+    `rngs={"dropout": ...}` when train=True.
     """
 
     features: int
@@ -62,6 +65,7 @@ class Convolution(nn.Module):
     conv_only: bool = False
     is_transposed: bool = False
     norm: Optional[str] = "batch"
+    dropout: float = 0.0
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -90,6 +94,9 @@ class Convolution(nn.Module):
         if not self.conv_only:
             if self.norm is not None:
                 x = BatchNorm3d(axis_name=self.bn_axis_name, name="norm")(x, train)
+            if self.dropout > 0:
+                x = nn.Dropout(rate=self.dropout, name="drop")(
+                    x, deterministic=not train)
             x = PReLU(name="act")(x)
         return x
 
@@ -103,6 +110,7 @@ class ResidualUnit(nn.Module):
     subunits: int = 2
     last_conv_only: bool = False
     norm: Optional[str] = "batch"
+    dropout: float = 0.0
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -120,6 +128,7 @@ class ResidualUnit(nn.Module):
                 kernel_size=self.kernel_size,
                 conv_only=conv_only,
                 norm=self.norm,
+                dropout=self.dropout,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f"unit{su}",

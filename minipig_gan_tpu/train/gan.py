@@ -90,7 +90,8 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None):
             dtype=dtype,
         )
     elif kind == "monai":
-        disc = MonaiDiscriminator(bn_axis_name=bn_axis_name, dtype=dtype)
+        disc = MonaiDiscriminator(dropout=cfg.discriminator.monai_dropout,
+                                  bn_axis_name=bn_axis_name, dtype=dtype)
     else:
         raise ValueError(f"unknown discriminator kind {kind!r}")
     return gen, disc
@@ -117,6 +118,12 @@ class GANTrainer:
         self.generator, self.discriminator = build_models(cfg, bn_axis_name)
         self.g_tx, self.d_tx = build_optimizers(cfg)
         self.mode = cfg.train.mode
+        # only the MONAI-topology discriminator carries train-mode dropout
+        # (MONAI 0.4.0 Discriminator default dropout=0.25); its applies
+        # need a "dropout" rng stream
+        self._d_needs_dropout_rng = (
+            isinstance(self.discriminator, MonaiDiscriminator)
+            and self.discriminator.dropout > 0)
 
     # -- init ---------------------------------------------------------------
 
@@ -138,7 +145,10 @@ class GANTrainer:
             if self.mode == "patch":
                 roi = self.cfg.patch.roi_size
                 d_in = jnp.zeros((1, *roi, t1.shape[-1]), t1.dtype)
-            d_vars = self.discriminator.init(d_rng, d_in, train=True)
+            d_init_rngs = {"params": d_rng}
+            if self._d_needs_dropout_rng:
+                d_init_rngs["dropout"] = jax.random.fold_in(d_rng, 0xD)
+            d_vars = self.discriminator.init(d_init_rngs, d_in, train=True)
             d_params, d_stats = d_vars["params"], d_vars.get("batch_stats", {})
             d_opt_state = self.d_tx.init(d_params)
         return GANTrainState(
@@ -160,10 +170,13 @@ class GANTrainer:
             mutable=["batch_stats"],
         )
 
-    def _d_apply(self, params, stats, x):
+    def _d_apply(self, params, stats, x, rng=None):
+        extra = {}
+        if rng is not None and self._d_needs_dropout_rng:
+            extra["rngs"] = {"dropout": rng}
         out, upd = self.discriminator.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], **extra,
         )
         if isinstance(out, tuple):
             logits, acts = out
@@ -299,12 +312,14 @@ class GANTrainer:
                 else:
                     gen_d, real_d = gen, t2_mb
                 fake_logits, acts_fake, d_stats1 = self._d_apply(
-                    state.d_params, d_stats, gen_d)
+                    state.d_params, d_stats, gen_d,
+                    rng=jax.random.fold_in(rng_mb, 1))
                 acts_real = []
                 d_stats2 = d_stats1
                 if use_perceptual:
                     _, acts_real, d_stats2 = self._d_apply(
-                        state.d_params, d_stats1, real_d)
+                        state.d_params, d_stats1, real_d,
+                        rng=jax.random.fold_in(rng_mb, 2))
                 ls = L.generator_loss(
                     fake_logits, gen_d, real_d, acts_fake, acts_real,
                     use_perceptual)
@@ -371,8 +386,12 @@ class GANTrainer:
                 gen_d2, real_d2 = gen2, t2_mb
 
             def d_loss_fn(d_params):
-                real_logits, _, d_s1 = self._d_apply(d_params, d_stats, real_d2)
-                fake_logits, _, d_s2 = self._d_apply(d_params, d_s1, gen_d2)
+                real_logits, _, d_s1 = self._d_apply(
+                    d_params, d_stats, real_d2,
+                    rng=jax.random.fold_in(rng_mb, 3))
+                fake_logits, _, d_s2 = self._d_apply(
+                    d_params, d_s1, gen_d2,
+                    rng=jax.random.fold_in(rng_mb, 4))
                 ls = L.discriminator_loss(
                     real_logits, fake_logits,
                     self.cfg.train.one_sided_label_value)
@@ -454,11 +473,13 @@ class GANTrainer:
                 else:
                     gen_d, real_d = gen, t2_mb
                 fake_logits_g, acts_fake, d_stats1 = self._d_apply(
-                    d_frozen, d_stats, gen_d)
+                    d_frozen, d_stats, gen_d,
+                    rng=jax.random.fold_in(g_rng_mb, 1))
                 acts_real = []
                 if use_perceptual:
                     _, acts_real, d_stats1 = self._d_apply(
-                        d_frozen, d_stats1, real_d)
+                        d_frozen, d_stats1, real_d,
+                        rng=jax.random.fold_in(g_rng_mb, 2))
                 ls_g = L.generator_loss(
                     fake_logits_g, gen_d, real_d, acts_fake, acts_real,
                     use_perceptual)
@@ -470,9 +491,11 @@ class GANTrainer:
                 else:
                     gen_d2, real_d2 = gen_sg, t2_mb
                 real_logits, _, d_stats2 = self._d_apply(
-                    d_params, d_stats1, real_d2)
+                    d_params, d_stats1, real_d2,
+                    rng=jax.random.fold_in(d_rng_mb, 3))
                 fake_logits_d, _, d_stats3 = self._d_apply(
-                    d_params, d_stats2, gen_d2)
+                    d_params, d_stats2, gen_d2,
+                    rng=jax.random.fold_in(d_rng_mb, 4))
                 ls_d = L.discriminator_loss(
                     real_logits, fake_logits_d, one_sided)
                 total = ls_g["g_loss"] + ls_d["d_loss"]

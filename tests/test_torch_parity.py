@@ -183,17 +183,19 @@ def test_conv_transpose_matches_torch():
 def test_monai_discriminator_parity():
     """Exact MONAI 0.4.0 Discriminator config (perceptual_test.py:127-141):
     channels (8,16,32,64,128,256,1), all strides 2, num_res_units=2,
-    norm=None, PRELU, Flatten->Linear 1-logit head. norm=None -> no batch
-    stats, so train and eval paths are numerically identical."""
+    norm=None, PRELU, Flatten->Linear 1-logit head, dropout=0.25 (the
+    MONAI Discriminator default the reference does not override). Numeric
+    parity is checked at eval (dropout off, matching tm.eval()); train
+    mode must actually engage dropout (stochastic under the rng)."""
     from minipig_gan_tpu.models import MonaiDiscriminator
 
     rng = jax.random.PRNGKey(7)
     x = np.random.RandomState(11).randn(2, 32, 32, 32, 1).astype(np.float32)
 
     jm = MonaiDiscriminator()
-    variables = jm.init(rng, jnp.asarray(x), train=True)
+    variables = jm.init(rng, jnp.asarray(x), train=False)
     assert set(variables.keys()) == {"params"}, "norm=None must create no BN stats"
-    y_jax = jm.apply(variables, jnp.asarray(x), train=True)
+    y_jax = jm.apply(variables, jnp.asarray(x), train=False)
 
     tm = torch_ref.MonaiDiscriminator(in_spatial=32)
     torch_ref.copy_monai_discriminator(
@@ -205,3 +207,11 @@ def test_monai_discriminator_parity():
     assert y_jax.shape == (2, 1)
     np.testing.assert_allclose(np.asarray(y_jax), y_t.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+    # train mode: dropout(0.25) active -> differs from eval and between rngs
+    y_tr1 = jm.apply(variables, jnp.asarray(x), train=True,
+                     rngs={"dropout": jax.random.PRNGKey(0)})
+    y_tr2 = jm.apply(variables, jnp.asarray(x), train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(y_tr1), np.asarray(y_jax))
+    assert not np.allclose(np.asarray(y_tr1), np.asarray(y_tr2))

@@ -207,3 +207,31 @@ def test_step_determinism():
     state = tr.init(jax.random.PRNGKey(9), batch)
     ok, bad = check_step_determinism(jax.jit(tr.train_step), state, batch)
     assert ok, f"nondeterministic leaves: {list(bad)[:5]}"
+
+
+def test_monai_discriminator_kind_step():
+    """'monai' discriminator kind trains end-to-end: the jitted step must
+    thread a dropout rng into every D apply (MONAI 0.4.0 Discriminator
+    defaults dropout=0.25 — docs/AUDIT_MONAI_040.md §3) and the step must
+    stay deterministic given the state rng."""
+    cfg = Config(
+        generator=GeneratorConfig(n_unet_blocks=1, channels=(4, 8), strides=(2,)),
+        discriminator=DiscriminatorConfig(kind="monai"),
+        train=TrainConfig(compute_dtype="float32", mode="gan", batch_size=2,
+                          accum_steps=1),
+    )
+    tr = GANTrainer(cfg)
+    assert tr._d_needs_dropout_rng
+    batch = make_batch(spatial=16)
+    state = tr.init(jax.random.PRNGKey(0), batch)
+    step = jax.jit(tr.train_step)
+    s1, m1 = step(state, batch)
+    for k in ("g_loss", "d_loss"):
+        assert np.isfinite(float(m1[k])), k
+    # same state rng -> bitwise-identical metrics (dropout keys derive
+    # from the state rng, not host randomness)
+    _, m1b = step(state, batch)
+    assert float(m1b["d_loss"]) == float(m1["d_loss"])
+    # second step advances the rng -> different dropout draw
+    s2, m2 = step(s1, batch)
+    assert float(m2["d_loss"]) != float(m1["d_loss"])
