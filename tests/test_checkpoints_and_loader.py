@@ -12,6 +12,8 @@ from minipig_gan_tpu.config import (
     Config, DataConfig, DiscriminatorConfig, GeneratorConfig, TrainConfig,
 )
 from minipig_gan_tpu.train import GANTrainer
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
 from minipig_gan_tpu.train.checkpoints import (
     TopKCheckpointManager, restore_state, restore_state_tolerant, save_state,
 )

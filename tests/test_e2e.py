@@ -8,6 +8,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 from minipig_gan_tpu.config import (
     Config, DataConfig, DiscriminatorConfig, GeneratorConfig, MeshConfig,
     TrainConfig,

@@ -17,6 +17,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 from minipig_gan_tpu.models import (
     GlobalDiscriminator,
     MonaiDiscriminator,

@@ -5,6 +5,7 @@ real forwards for numerics/range.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def test_patch_discriminator_16_to_8_geometry():
     assert len(acts) == 16  # 4 x (conv, bn, lrelu) + flatten + fc0 + fc1 + sigmoid
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
 def test_casnet_output_in_tanh_range():
     g = CasNetGenerator(n_unet_blocks=2, channels=(4, 8), strides=(2,))
     x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 8, 1), jnp.float32)
@@ -110,6 +112,7 @@ def test_unet_7level_variant_geometry():
     assert out.shape == (1, 128, 128, 128, 1)
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
 class TestBNFolding:
     """models/fold.py: eval-mode BN folding must reproduce the
     stats-threading forward exactly (up to float fold rounding)."""
@@ -174,6 +177,7 @@ class TestBNFolding:
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
 def test_global_discriminator_same_crop_exact():
     """The SAME+crop conv rewrite in the global D (tiling optimization,
     tpu_tests/disc_pad_experiment.py) must be numerically identical to the

@@ -14,6 +14,10 @@ from minipig_gan_tpu.config import (
 from minipig_gan_tpu.parallel import make_mesh, replicate, shard_batch
 from minipig_gan_tpu.train import GANTrainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 
 def tiny_cfg():
     return Config(

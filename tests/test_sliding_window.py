@@ -6,6 +6,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 from minipig_gan_tpu.ops.sliding_window import (
     gaussian_importance,
     sliding_window_inference,

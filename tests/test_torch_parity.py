@@ -21,6 +21,8 @@ from minipig_gan_tpu.models import (
 )
 import torch_ref
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 
 def to_torch_nchw(x_ndhwc: np.ndarray) -> torch.Tensor:
     return torch.from_numpy(np.ascontiguousarray(x_ndhwc.transpose(0, 4, 1, 2, 3)))

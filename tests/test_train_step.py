@@ -17,6 +17,8 @@ from minipig_gan_tpu.config import (
 )
 from minipig_gan_tpu.train import GANTrainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 
 def tiny_cfg(mode="gan", **train_kw):
     return Config(

@@ -12,6 +12,8 @@ from minipig_gan_tpu.config import (
 )
 from minipig_gan_tpu.train import GANTrainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
 
 def _run(mode: str, unroll: bool):
     cfg = Config(
