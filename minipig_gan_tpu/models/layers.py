@@ -261,7 +261,15 @@ class PReLU(nn.Module):
             self.param_dtype,
         )
         a = a.astype(x.dtype)
-        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        # Identical values to torch's max(0,x)+a*min(0,x), but the where
+        # form autodiffs to plain selects. The max/min form's vjp is JAX's
+        # tie-splitting subgradient (eq-compare + divide chains at every
+        # element) — measured 4x the backward time of this form on the
+        # canonical CasNet step (tpu_tests/nonconv_budget.py: the
+        # "act/min" fusions at ~10% of HBM peak). Gradients match torch
+        # (x>0 ? g : a*g; ties at 0 take the a branch like torch's
+        # input>0 test; d_alpha integrand x<=0 contributes g*x = 0 at 0).
+        return jnp.where(x > 0, x, a * x)
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:

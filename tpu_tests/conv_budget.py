@@ -47,10 +47,19 @@ def hlo_convs(txt):
     out = collections.defaultdict(list)
     fusion_to_comp = {}
     for line in txt.splitlines():
-        m = re.match(r"%?([\w.\-]+) \([^)]*\) -> ", line)
+        # greedy .* — computation headers may have tuple-typed params with
+        # nested parens, e.g. "(p0: bf16[2], p1: (bf16[128], f32[1])) -> ";
+        # the old [^)]* stopped at the first ")" and dropped such headers,
+        # misattributing their convs to the previous computation (made the
+        # fused dgrad+BN-backward kOutput fusions look like non-conv time).
+        m = re.match(r"%?([\w.\-]+) \(.*\) -> ", line)
         if m:
             comp = m.group(1)
-        m = re.search(r"%([\w.\-]+) = \S+ fusion\([^)]*\).*?calls=%?([\w.\-]+)",
+        # ".*?" for the shape sig — tuple-output fusions have spaces in it
+        # ("(bf16[128]{...}, bf16[...]{...})"), which "\S+" never matched,
+        # so tuple-rooted fusions (the dgrad+BN-backward kOutput fusions)
+        # silently dropped out of the conv attribution.
+        m = re.search(r"%([\w.\-]+) = .*? fusion\(.*?calls=%?([\w.\-]+)",
                       line)
         if m:
             fusion_to_comp[m.group(1)] = m.group(2)
