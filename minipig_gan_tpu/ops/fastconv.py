@@ -32,6 +32,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Int3 = Tuple[int, int, int]
@@ -45,13 +46,67 @@ def _fwd_conv(x, w, strides: Int3, pads):
         dimension_numbers=_DIMN)
 
 
+def _dgrad_polyphase(dy, w, stride: int, in_spatial: Int3):
+    """dx for a VALID stride-s conv as s^3 DENSE stride-1 convolutions.
+
+    The lhs-dilated dgrad formulation makes the MXU stream s^3 = 8x zeros
+    (dy dilated 2x per axis); decomposing by output phase r = p mod s runs
+    each phase as a dense conv over the per-phase kernel taps, then
+    interleaves:  dx[s*q + r] = sum_m dy[q - m] w[s*m + r]  per axis
+    (derivation + standalone A/Bs in tpu_tests/convgrad_experiment.py:
+    1.26x on the D block1<-block2 dgrad [2,124^3,128]<-[2,61^3,256],
+    0.5x/0.04x on the smaller cases — hence the size-gated routing in
+    conv3d_dgrad). Requires pad=0 (the discriminator's VALID convs),
+    cubic k/s with k % s == 0 so every phase has k//s taps.
+    """
+    s = stride
+    k = w.shape[0]
+    n, od = dy.shape[0], dy.shape[1]
+    m_max = k // s
+    # per-phase output length: ceil(i/s) entries so the interleave covers
+    # every dx position; out[q] = sum_m dy[q-m] w[s*m+r] needs lead pad
+    # m_max-1 (small q) and trail pad L-od (q up to L-1)
+    ls = [-(-i // s) for i in in_spatial]
+    pad = tuple((m_max - 1, l - od) for l in ls)
+    outs = {}
+    for rd in range(s):
+        sd = np.array(list(range(rd, k, s))[::-1])
+        for rh in range(s):
+            sh = np.array(list(range(rh, k, s))[::-1])
+            for rw in range(s):
+                sw = np.array(list(range(rw, k, s))[::-1])
+                sub = w[sd][:, sh][:, :, sw]
+                subt = jnp.asarray(sub).swapaxes(3, 4)
+                outs[rd, rh, rw] = lax.conv_general_dilated(
+                    dy, subt, window_strides=(1, 1, 1), padding=pad,
+                    dimension_numbers=_DIMN)
+    st = jnp.stack([jnp.stack([jnp.stack([outs[rd, rh, rw]
+                                          for rw in range(s)], axis=3)
+                               for rh in range(s)], axis=2)
+                    for rd in range(s)], axis=1)
+    # [n, sd, qd, sh, qh, sw, qw, ci] -> [n, qd, sd, qh, sh, qw, sw, ci]
+    st = st.transpose(0, 2, 1, 4, 3, 6, 5, 7)
+    ci = w.shape[3]
+    dx = st.reshape(n, s * ls[0], s * ls[1], s * ls[2], ci)
+    return dx[:, :in_spatial[0], :in_spatial[1], :in_spatial[2], :]
+
+
 def conv3d_dgrad(dy, w, strides: Int3, pads, in_spatial: Int3):
-    """dx for y = conv(x, w): transposed (lhs-dilated) convolution.
+    """dx for y = conv(x, w): transposed (lhs-dilated) convolution; the
+    large VALID stride-2 case routes through the polyphase decomposition
+    (see _dgrad_polyphase).
 
     Validated bit-exact against jax.grad (tpu_tests/convgrad_experiment.py,
     tests/test_fastconv.py).
     """
     k = w.shape[:3]
+    # Polyphase routing for the large VALID stride-2 dgrads (D block1 <-
+    # block2, the step's 208 ms dgrad trio at ~55 TF/s on 8x-dilated MXU
+    # work) was integrated and A/B'd: 1.26x standalone, but the interleave
+    # stack+transpose materializes ~2x the [2,124^3,128] dx as transients
+    # and the canonical config compiles OOM (16.8 GB scan budget in
+    # 15.75 GB HBM has no slack). Routing removed; _dgrad_polyphase stays
+    # as the measured experiment for memory-slack configs.
     lo_hi = []
     for i in range(3):
         o = (in_spatial[i] + pads[i][0] + pads[i][1] - k[i]) // strides[i] + 1
@@ -159,6 +214,15 @@ def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
             xp = jnp.pad(
                 x, ((0, 0),) + tuple((p, p) for p in psym) + ((0, 0),))
         return _wgrad_im2col_ci1(xp, dy, kernel_size, strides)
+    # Round-5 re-arbitration of the ci=1, co=16 class (CasNet unit0/
+    # residual [3,3,3,1,16], the batch-in-sublanes-relayout victims): with
+    # the fori-loop harness, standalone tap-einsum measures 5.5 ms vs the
+    # conv formulation's 12.0 and a hybrid XLA-im2col + Pallas streaming
+    # dot (ops/pallas/wgrad_flat.py) 10.3 ms — but routing the class to
+    # tap-einsum measures NEUTRAL in the full step (bench.py: strict
+    # 2298.2 vs 2297.7 ms, fast 1986.7 vs 1985.8): XLA's in-step scan
+    # fusion runs the conv formulation at ~3.2 ms/exec, 4x its standalone
+    # cost, erasing the win. Conv formulation stays the default.
     return _wgrad_conv(x, dy, kernel_size, strides, pads)
 
 
