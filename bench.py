@@ -60,6 +60,15 @@ def main() -> None:
     from minipig_gan_tpu.config import Config, TrainConfig
     from minipig_gan_tpu.train import GANTrainer
 
+    if os.environ.get("BENCH_CI1_DOT", "1") == "0":  # A/B hook
+        from minipig_gan_tpu.ops import fastconv
+
+        fastconv.set_ci1_dot_all(False)
+    if os.environ.get("BENCH_D_TAP", "0") == "1":  # A/B hook
+        from minipig_gan_tpu.ops import fastconv
+
+        fastconv.set_d_tap_wgrad(True)
+
     spatial = int(os.environ.get("BENCH_SPATIAL", "128"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
     mode = os.environ.get("BENCH_MODE", "gan")

@@ -206,24 +206,54 @@ def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
     tested) as measured alternatives for future shapes.
     """
     ci, co = x.shape[-1], dy.shape[-1]
-    if (ci == 1 and co == 1 and strides == (1, 1, 1)
+    if (ci == 1 and (co == 1 or (_CI1_DOT_ALL and co <= 32))
             and all(p[0] == p[1] for p in pads)):
+        # Whole Ci==1 class -> im2col dot. The co==1 case won on compute
+        # (conv formulation runs at 1/128 lanes). Round-5 extends it to
+        # co>1 (CasNet unit0/residual [3,3,3,1,16] stride-2) for a MEMORY
+        # reason the standalone benches can't see: the conv formulation's
+        # EmitAllBatchInSublanes emitter demands a batch-minor relayout of
+        # the full-res C=1 activation — two 16.8 MB-logical copies that
+        # write 1.07 GB PHYSICAL each (batch 2 in lanes = 64x tile padding,
+        # copy.2112/2121 in the round-5 nonconv budget, ~38 ms/step at
+        # 80-87% of HBM peak — at the roofline of a catastrophic layout).
+        # The patch-matrix dot consumes the natural W-minor layout instead.
+        # (Tap-einsum, A/B'd earlier, measured NEUTRAL: its [vox, 1]
+        # columns re-trigger the same narrow-minor pathology.) Gated to
+        # co <= 32: the discriminator's [1->64] block0 conv occupies half
+        # the lanes already and showed no relayout in the budget.
         psym = tuple(p[0] for p in pads)
         xp = x
         if any(psym):
             xp = jnp.pad(
                 x, ((0, 0),) + tuple((p, p) for p in psym) + ((0, 0),))
         return _wgrad_im2col_ci1(xp, dy, kernel_size, strides)
-    # Round-5 re-arbitration of the ci=1, co=16 class (CasNet unit0/
-    # residual [3,3,3,1,16], the batch-in-sublanes-relayout victims): with
-    # the fori-loop harness, standalone tap-einsum measures 5.5 ms vs the
-    # conv formulation's 12.0 and a hybrid XLA-im2col + Pallas streaming
-    # dot (ops/pallas/wgrad_flat.py) 10.3 ms — but routing the class to
-    # tap-einsum measures NEUTRAL in the full step (bench.py: strict
-    # 2298.2 vs 2297.7 ms, fast 1986.7 vs 1985.8): XLA's in-step scan
-    # fusion runs the conv formulation at ~3.2 ms/exec, 4x its standalone
-    # cost, erasing the win. Conv formulation stays the default.
+    if (_D_TAP_WGRAD and strides == (1, 1, 1) and ci >= 64
+            and all(p == (0, 0) for p in pads)):
+        # experimental route for the discriminator's stride-1 VALID wgrads
+        # ([3,3,3,64,128]: the step's biggest single conv at ~30 TF/s in
+        # the conv formulation): k^3 full-lane [ci, co] dots with K = all
+        # voxels. Memory model: 27x re-read of both operands (~20 GB) =
+        # ~24 ms at HBM peak vs the 57 ms/exec measured conv emitter.
+        return _wgrad_tap_einsum(x, dy, kernel_size, strides)
     return _wgrad_conv(x, dy, kernel_size, strides, pads)
+
+
+_CI1_DOT_ALL = True
+_D_TAP_WGRAD = False
+
+
+def set_ci1_dot_all(enabled: bool) -> None:
+    """A/B hook: route ALL Ci==1 wgrads (not just 1->1) through the
+    im2col dot. Default on (measured win, see conv3d_wgrad docstring)."""
+    global _CI1_DOT_ALL
+    _CI1_DOT_ALL = bool(enabled)
+
+
+def set_d_tap_wgrad(enabled: bool) -> None:
+    """A/B hook: tap-einsum for the wide stride-1 VALID wgrads (D blocks)."""
+    global _D_TAP_WGRAD
+    _D_TAP_WGRAD = bool(enabled)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -306,9 +336,56 @@ def _convT_fwd(x, kt, strides, pads):
     return _fwd_convT(x, kt, strides, pads), (x, kt)
 
 
+def _wgradT_co1(x, g, kernel_size: Int3, strides: Int3, pads):
+    """dkt for the 1-output-channel ConvTranspose (every CasNet block's top
+    up conv): dkt[t, ci, 0] = sum_{n,i} x[n,i,ci] * g[n, lo + s*i - t, 0].
+
+    Expressed as k^3 strided slices of the PADDED single-channel cotangent
+    stacked into a [vox, k^3] matrix and ONE MXU dot against the flat
+    [vox, ci] input — the convT sibling of _wgrad_im2col_ci1. Avoids the
+    conv formulation's batch-minor relayout of the full-res C=1 cotangent
+    (copy.2121 in the round-5 nonconv budget: 16.8 MB logical written as
+    1.07 GB physical, 64x tile padding) and never materializes dilate(x).
+    """
+    n = x.shape[0]
+    ci = x.shape[-1]
+    ins = x.shape[1:4]
+    outs = g.shape[1:4]
+    lo = tuple(p[0] for p in pads)
+    # pad g so every tap's strided gather stays in bounds; out-of-range
+    # output positions contribute exactly zero
+    a = tuple(max(0, kernel_size[i] - 1 - lo[i]) for i in range(3))
+    hi = tuple(max(0, lo[i] + strides[i] * (ins[i] - 1) - outs[i] + 1)
+               for i in range(3))
+    gp = jnp.pad(g, ((0, 0),) + tuple(
+        (a[i], hi[i]) for i in range(3)) + ((0, 0),))
+    cols = []
+    for td, th, tw in _taps(kernel_size):
+        starts = (lo[0] - td + a[0], lo[1] - th + a[1], lo[2] - tw + a[2])
+        v = lax.slice(
+            gp, (0, starts[0], starts[1], starts[2], 0),
+            (n, starts[0] + (ins[0] - 1) * strides[0] + 1,
+             starts[1] + (ins[1] - 1) * strides[1] + 1,
+             starts[2] + (ins[2] - 1) * strides[2] + 1, 1),
+            (1, strides[0], strides[1], strides[2], 1))
+        cols.append(v.reshape(-1))
+    gc = jnp.stack(cols, axis=-1)                     # [vox, k^3]
+    xf = x.reshape(-1, ci)                            # [vox, ci]
+    dkt = lax.dot_general(
+        gc, xf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [k^3, ci]
+    return dkt.reshape(*kernel_size, ci, 1).astype(g.dtype)
+
+
 def _convT_bwd(strides, pads, res, g):
     x, kt = res
     (g,) = lax.optimization_barrier((g,))
+    if kt.shape[-1] == 1 and _CI1_DOT_ALL and g.shape[-1] == 1:
+        _, vjp_x = jax.vjp(
+            lambda x_: _fwd_convT(x_, kt, strides, pads), x)
+        (dx,) = vjp_x(g)
+        dkt = _wgradT_co1(x, g, kt.shape[:3], strides, pads)
+        return dx, dkt
     _, vjp = jax.vjp(lambda x_, kt_: _fwd_convT(x_, kt_, strides, pads),
                      x, kt)
     return vjp(g)

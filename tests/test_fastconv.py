@@ -152,3 +152,42 @@ def test_conv3d_layer_grads_unchanged_by_barrier():
     for a, b in zip(g_on, g_off):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose3d_co1_route_matches_autodiff():
+    """The 1-output-channel ConvTranspose wgrad route (_wgradT_co1) — every
+    CasNet block's top up conv (MONAI UNet out_channels=1). The routed
+    patch-matrix dot must match jax's own vjp of the lhs-dilated conv on
+    all up-conv geometries, including output_padding."""
+    rs = np.random.RandomState(5)
+    for (ci, s, p, op_, k) in ((8, 2, 1, 1, 3), (4, 2, 0, 0, 4),
+                               (6, 1, 1, 0, 3)):
+        x = jnp.asarray(rs.randn(2, 6, 7, 6, ci), jnp.float32)
+        kt = jnp.asarray(rs.randn(k, k, k, ci, 1) * 0.2, jnp.float32)
+        strides = (s, s, s)
+        pads = tuple((k - 1 - p, k - 1 - p + op_) for _ in range(3))
+
+        def plain(x, kt):
+            return lax.conv_general_dilated(
+                x, kt, window_strides=(1, 1, 1), padding=pads,
+                lhs_dilation=strides,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        cot = jnp.asarray(rs.randn(*plain(x, kt).shape), jnp.float32)
+        g0 = jax.grad(lambda x, kt: jnp.sum(plain(x, kt) * cot),
+                      argnums=(0, 1))(x, kt)
+        g1 = jax.grad(
+            lambda x, kt: jnp.sum(
+                fastconv.conv_transpose3d_op(x, kt, strides, pads) * cot),
+            argnums=(0, 1))(x, kt)
+        for a, b in zip(g0, g1):
+            scale = float(np.max(np.abs(np.asarray(a)))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=2e-6, atol=2e-6)
+        # and the formulation directly, for the routing-independent oracle
+        dkt = fastconv._wgradT_co1(x, cot, (k, k, k), strides, pads)
+        scale = float(np.max(np.abs(np.asarray(g0[1])))) or 1.0
+        np.testing.assert_allclose(np.asarray(g0[1]) / scale,
+                                   np.asarray(dkt) / scale,
+                                   rtol=2e-6, atol=2e-6)

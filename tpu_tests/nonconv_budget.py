@@ -26,6 +26,7 @@ import collections
 import re
 import sys
 from pathlib import Path
+from typing import Tuple
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from conv_budget import hlo_convs, trace_durs  # noqa: E402
@@ -35,21 +36,69 @@ PEAK_GBPS = 819.0
 DTYPE_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "s32": 4, "u32": 4,
                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
 
-SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([^}]*)\})?")
 
 
-def shape_bytes(sig: str) -> int:
-    """Bytes of one 'bf16[1,2,3]{...}' or tuple '(bf16[..], f32[..])' sig."""
-    total = 0
-    for dt, dims in SHAPE_RE.findall(sig):
+def _physical_elems(dims, layout: str) -> int:
+    """Element count of the TILED buffer in HBM: the minor-most (lane) and
+    second-minor (sublane) dims — per the layout's minor-to-major perm —
+    are padded up to the T(sublane,lane) tile. This padding is physically
+    resident and physically transferred (HBM traffic moves whole tiles), so
+    it is the denominator that makes roofline %peak honest for narrow-
+    channel tensors (a bf16 [..,16]-minor tensor under T(16,128) moves 8x
+    its logical bytes)."""
+    if not dims:
+        return 1
+    n = 1
+    for d in dims:
+        n *= d
+    if not layout or ":" not in layout:
+        return n
+    perm_s, rest = layout.split(":", 1)
+    tile_m = re.match(r"T\(([\d,]+)\)", rest)
+    if not tile_m:
+        return n
+    try:
+        perm = [int(p) for p in perm_s.split(",")]
+        tile = [int(t) for t in tile_m.group(1).split(",")]
+    except ValueError:
+        return n
+    if len(perm) != len(dims):
+        return n
+    # pad the len(tile) minor-most logical dims up to the tile
+    for i, t in enumerate(reversed(tile)):  # i=0 -> lane dim, i=1 -> sublane
+        if i >= len(perm):
+            break
+        d = dims[perm[i]]
+        padded = -(-d // t) * t
+        n = n // d * padded
+    return n
+
+
+def shape_bytes(sig: str) -> Tuple[int, int]:
+    """(logical, physical) bytes of one 'bf16[1,2,3]{layout}' or tuple
+    '(bf16[..]{..}, f32[..]{..})' sig. Physical includes tile padding;
+    buffers in a non-default memory space (layout 'S(1)' = VMEM-resident)
+    move no HBM bytes and count zero physical."""
+    logical = physical = 0
+    for dt, dims_s, layout in SHAPE_RE.findall(sig):
         if dt not in DTYPE_BYTES:
             continue
+        dims = [int(d) for d in dims_s.split(",") if d]
         n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * DTYPE_BYTES[dt]
-    return total
+        for d in dims:
+            n *= d
+        logical += n * DTYPE_BYTES[dt]
+        if "S(" not in (layout or ""):
+            physical += _physical_elems(dims, layout) * DTYPE_BYTES[dt]
+    return logical, physical
+
+
+def leading_dim(sig: str) -> int:
+    m = SHAPE_RE.search(sig)
+    if m and m.group(2):
+        return int(m.group(2).split(",")[0])
+    return 1
 
 
 DEF_RE = re.compile(
@@ -76,15 +125,19 @@ def parse_defs(txt: str):
 
 
 def categorize(name: str, opcode: str, meta: str) -> str:
-    if opcode in ("copy", "copy-start"):
+    if opcode in ("copy", "copy-start", "copy-done"):
         return "copy"
-    if "dynamic-update-slice" in name or "dynamic_update_slice" in opcode \
-            or "dynamic-slice" in name or opcode == "dynamic-slice":
+    if meta.endswith("dot_general"):
+        return "dot"
+    if ("dynamic-update-slice" in name or "dynamic_update_slice" in opcode
+            or "dynamic-slice" in name or opcode == "dynamic-slice"
+            or meta.endswith(("dynamic_update_slice", "dynamic_slice"))):
         return "scan-dus"
     if opcode in ("pad", "slice", "concatenate", "reshape", "reverse",
                   "bitcast", "transpose"):
         return "movement"
-    if "reduce" in name or "reduce" in opcode:
+    if ("reduce" in name or "reduce" in opcode
+            or meta.endswith(("reduce_sum", "reduce_max", "reduce_min"))):
         return "bn-reduce"
     return "elementwise"
 
@@ -118,14 +171,40 @@ def main(top: int = 35) -> None:
             missing += ms
             continue
         sig, opcode, operands, meta = d
-        byts = shape_bytes(sig)
-        for o in operands:
-            od = defs.get(o)
-            if od:
-                byts += shape_bytes(od[0])
+        byts, pbyts = shape_bytes(sig)
+        if opcode in ("slice", "dynamic-slice", "copy-done") or meta.endswith(
+                "dynamic_slice"):
+            # reads only the region it writes (copy-done: the async copy's
+            # read+write lands on the wait)
+            byts, pbyts = 2 * byts, 2 * pbyts
+        elif opcode == "copy-start":
+            byts = pbyts = 0  # accounted on the matching copy-done
+        elif opcode == "dynamic-update-slice" or meta.endswith(
+                "dynamic_update_slice"):
+            # in-place scan stacking: traffic is the updated slab (read the
+            # update + write the slab), not the whole accumulator
+            ld = max(1, leading_dim(sig))
+            byts, pbyts = 2 * byts // ld, 2 * pbyts // ld
+        else:
+            has_index = any(
+                defs.get(o) and defs[o][0].startswith("s32[]")
+                for o in operands)
+            for o in operands:
+                od = defs.get(o)
+                if od:
+                    ob, op = shape_bytes(od[0])
+                    # a fused dynamic-slice (s32 index operand) reads one
+                    # slab of a scan-stacked operand, not the whole stack
+                    ld = leading_dim(od[0])
+                    if has_index and ld > 1 and ob > 32 << 20:
+                        ob //= ld
+                        op //= ld
+                    byts += ob
+                    pbyts += op
         execs = max(1, cnt[name])
         gbps = (byts * execs / 1e9) / (ms / 1e3) if ms > 0 else 0.0
-        rows.append((ms, name, execs, byts, gbps,
+        pgbps = (pbyts * execs / 1e9) / (ms / 1e3) if ms > 0 else 0.0
+        rows.append((ms, name, execs, byts, pbyts, gbps, pgbps,
                      categorize(name, opcode, meta), side_of(meta),
                      "/".join(meta.split("/")[-3:])))
 
@@ -134,24 +213,44 @@ def main(top: int = 35) -> None:
     print(f"non-conv device time accounted: {total:.1f} ms "
           f"(+{missing:.1f} ms unresolved)\n")
 
-    agg = collections.defaultdict(lambda: [0.0, 0.0])
-    for ms, _, execs, byts, _, cat, side, _ in rows:
+    agg = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+    for ms, _, execs, byts, pbyts, _, _, cat, side, _ in rows:
         a = agg[(cat, side)]
         a[0] += ms
         a[1] += byts * execs / 1e9
+        a[2] += pbyts * execs / 1e9
     print(f"{'category':12s} {'side':4s} {'ms':>8s} {'GB':>8s} "
-          f"{'GB/s':>7s} {'%peak':>6s}")
-    for (cat, side), (ms, gb) in sorted(agg.items(), key=lambda x: -x[1][0]):
-        gbps = gb / (ms / 1e3) if ms else 0
-        print(f"{cat:12s} {side:4s} {ms:8.1f} {gb:8.2f} {gbps:7.0f} "
-              f"{100*gbps/PEAK_GBPS:5.1f}%")
+          f"{'physGB':>8s} {'phys GB/s':>9s} {'%peak':>6s}")
+    for (cat, side), (ms, gb, pgb) in sorted(agg.items(),
+                                             key=lambda x: -x[1][0]):
+        pgbps = pgb / (ms / 1e3) if ms else 0
+        print(f"{cat:12s} {side:4s} {ms:8.1f} {gb:8.2f} {pgb:8.2f} "
+              f"{pgbps:9.0f} {100*pgbps/PEAK_GBPS:5.1f}%")
+
+    # speed-of-light histogram: how much of the non-conv time runs at what
+    # fraction of the physical-HBM roofline
+    buckets = [(0.8, "at SoL (>=80% phys peak)"),
+               (0.5, "50-80%"), (0.25, "25-50%"), (0.0, "<25%")]
+    hist = collections.defaultdict(float)
+    for row in rows:
+        frac = row[6] / PEAK_GBPS
+        for lo, label in buckets:
+            if frac >= lo:
+                hist[label] += row[0]
+                break
+    print("\nspeed-of-light distribution (physical bytes):")
+    for _, label in buckets:
+        ms = hist.get(label, 0.0)
+        print(f"  {label:26s} {ms:8.1f} ms  {100*ms/total:5.1f}%")
 
     print("\ntop non-conv ops:")
-    print(f"{'ms':>8s} {'x':>5s} {'MB/ex':>7s} {'GB/s':>6s} {'%pk':>5s} "
-          f"cat      side  name / where")
-    for ms, name, execs, byts, gbps, cat, side, where in rows[:top]:
-        print(f"{ms:8.2f} x{execs:4d} {byts/1e6:7.1f} {gbps:6.0f} "
-              f"{100*gbps/PEAK_GBPS:4.0f}% {cat:8s} {side:4s}  {name}  {where}")
+    print(f"{'ms':>8s} {'x':>5s} {'MB/ex':>7s} {'phMB':>7s} {'GB/s':>6s} "
+          f"{'ph%pk':>5s} cat      side  name / where")
+    for (ms, name, execs, byts, pbyts, gbps, pgbps, cat, side,
+         where) in rows[:top]:
+        print(f"{ms:8.2f} x{execs:4d} {byts/1e6:7.1f} {pbyts/1e6:7.1f} "
+              f"{gbps:6.0f} {100*pgbps/PEAK_GBPS:4.0f}% {cat:8s} {side:4s}  "
+              f"{name}  {where}")
 
 
 if __name__ == "__main__":
