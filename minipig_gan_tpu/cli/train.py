@@ -36,6 +36,11 @@ def main(argv=None) -> None:
                              "with a small --steps")
     args = parser.parse_args(argv)
 
+    # multi-host bring-up (no-op unless the env requests it) — must run
+    # before any jax backend use
+    from ..parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     setup_jax_cache()
     cfg = build_config(
         args,

@@ -6,6 +6,7 @@ from .mesh import (
     batch_sharding,
     batch_spec,
     make_mesh,
+    maybe_initialize_distributed,
     replicate,
     replicated,
     shard_batch,
@@ -15,6 +16,7 @@ __all__ = [
     "DATA_AXIS",
     "SPATIAL_AXIS",
     "make_mesh",
+    "maybe_initialize_distributed",
     "batch_sharding",
     "batch_spec",
     "replicate",

@@ -62,11 +62,61 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, shard_spatial: bool = False) -> Any:
-    """Device-put a host batch with the batch dim split across `data`."""
+    """Device-put a host batch with the batch dim split across `data`.
+
+    Single-process: a plain sharded device_put. Multi-host (after
+    `maybe_initialize_distributed`): each process contributes its LOCAL
+    batch slice and the result is the global array spanning all hosts —
+    `jax.make_array_from_process_local_data` concatenates the per-process
+    slices along the sharded batch dim, so the global batch size is
+    local_batch * process_count."""
     sh = batch_sharding(mesh, shard_spatial)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host (pod-slice / DCN) bring-up — the `sync_dist=True`
+    future-proofing the reference gestures at (GAN_final.py:266-295) made
+    real. Call BEFORE any jax backend use (the train CLI does). No-op
+    unless the environment requests it:
+
+      * `MINIPIG_DISTRIBUTED=1` — TPU pod auto-detection
+        (`jax.distributed.initialize()` with no args reads the TPU
+        topology metadata), or
+      * `JAX_COORDINATOR_ADDRESS` (+ `JAX_NUM_PROCESSES`,
+        `JAX_PROCESS_ID`) — explicit bring-up for CPU/GPU fleets.
+
+    After initialization `jax.devices()` spans every host's chips, so
+    `make_mesh()` builds the GLOBAL data-parallel mesh and the same jit
+    train step runs SPMD across hosts: XLA routes the gradient psum over
+    ICI within a slice and DCN between slices. Feed batches through
+    `shard_batch` (per-process local slices) and gate host-side writes on
+    `jax.process_index() == 0` (train/loop.py does both).
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (addr or os.environ.get("MINIPIG_DISTRIBUTED") == "1"):
+        return False
+    kwargs = {}
+    if addr:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -72,7 +72,13 @@ def train(cfg: Config, resume: bool = True,
           max_steps: Optional[int] = None) -> Tuple[GANTrainState, TopKCheckpointManager]:
     log_dir = Path(cfg.log_dir)
     log_dir.mkdir(parents=True, exist_ok=True)
-    logger = MetricLogger(log_dir, echo_every=cfg.train.log_every)
+    # multi-host: every process runs the identical SPMD compute; only
+    # process 0 writes metrics/TB/checkpoints (parallel/mesh.py::
+    # maybe_initialize_distributed documents the bring-up)
+    is_main = jax.process_index() == 0
+    n_proc = jax.process_count()
+    logger = MetricLogger(log_dir, echo_every=cfg.train.log_every) \
+        if is_main else None
     mesh_cfg = cfg.mesh
     if mesh_cfg.data <= 0:
         # auto mesh: the data axis must divide the batch; use the largest
@@ -90,10 +96,19 @@ def train(cfg: Config, resume: bool = True,
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
     train_ds, val_ds, test_ds = build_datasets(cfg, log_dir)
-    if len(train_ds) < cfg.train.batch_size:
+    # multi-host: train.batch_size stays the GLOBAL batch (reference
+    # semantics); each process loads and feeds its local slice
+    local_bs = cfg.train.batch_size
+    if n_proc > 1:
+        if cfg.train.batch_size % n_proc:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} must divide by "
+                f"process_count={n_proc} for multi-host DP")
+        local_bs = cfg.train.batch_size // n_proc
+    if len(train_ds) < local_bs:
         raise ValueError(
-            f"train split has {len(train_ds)} pairs but batch_size is "
-            f"{cfg.train.batch_size} (full batches are required for the "
+            f"train split has {len(train_ds)} pairs but the per-process "
+            f"batch is {local_bs} (full batches are required for the "
             f"static-shape step) — add data or lower train.batch_size."
         )
     if cfg.data.wrap_last_batch:
@@ -102,8 +117,8 @@ def train(cfg: Config, resume: bool = True,
         # dropping the final partial batch
         import math as _math
 
-        wrap = WrapAroundLoader(train_ds, cfg.train.batch_size)
-        steps_per_epoch = _math.ceil(len(train_ds) / cfg.train.batch_size)
+        wrap = WrapAroundLoader(train_ds, local_bs)
+        steps_per_epoch = _math.ceil(len(train_ds) / local_bs)
 
         class _WrapEpochs:
             def epoch(self):
@@ -111,14 +126,22 @@ def train(cfg: Config, resume: bool = True,
 
         loader = _WrapEpochs()
     else:
-        loader = BatchLoader(train_ds, cfg.train.batch_size,
+        # per-process shuffle streams (seed offset) so hosts draw
+        # different local slices of each global batch
+        loader = BatchLoader(train_ds, local_bs,
                              shuffle=cfg.data.shuffle,
-                             seed=cfg.train.seed, drop_last=True)
+                             seed=cfg.train.seed + jax.process_index(),
+                             drop_last=True)
 
     # example volumes for the per-epoch snapshot (reference uses first test and
     # first train batch, GAN_final.py:476-478)
     example_test = test_ds[0]["t1w"][None] if len(test_ds) else train_ds[0]["t1w"][None]
     example_train = train_ds[0]["t1w"][None]
+    if n_proc > 1:
+        # multi-controller SPMD: jit inputs must be global arrays, and
+        # every process executes the same programs collectively
+        example_test = replicate(mesh, jnp.asarray(example_test))
+        example_train = replicate(mesh, jnp.asarray(example_train))
 
     sample = next(iter(loader.epoch()))
     state = trainer.init_jit(jax.random.PRNGKey(cfg.train.seed),
@@ -157,11 +180,13 @@ def train(cfg: Config, resume: bool = True,
         if not pending:
             return
         host = jax.device_get([m for _, m in pending])
-        for (s, _), hm in zip(pending, host):
-            logger.log_metrics(hm, s)
+        if logger is not None:
+            for (s, _), hm in zip(pending, host):
+                logger.log_metrics(hm, s)
         metrics = {k: min(float(hm[k]) for hm in host) for k in host[-1]}
         pending = []
-        ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+        if is_main:
+            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
 
     while step < max_steps:
         batches = DevicePrefetcher(
@@ -174,7 +199,7 @@ def train(cfg: Config, resume: bool = True,
                 pending.append((step, metrics_dev))
                 if step % monitor_every == 0 or step >= max_steps:
                     flush_and_monitor()
-            if step % cfg.train.checkpoint_every == 0:
+            if step % cfg.train.checkpoint_every == 0 and is_main:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:
                 break
@@ -184,16 +209,19 @@ def train(cfg: Config, resume: bool = True,
                 generate(state, jnp.asarray(example_test))))[0]
             gen_train = np.asarray(jax.device_get(
                 generate(state, jnp.asarray(example_train))))[0]
-            logger.log_volume("generated_t2w_test", gen_test, step)
-            logger.log_volume("generated_t2w_train", gen_train, step)
+            if logger is not None:
+                logger.log_volume("generated_t2w_test", gen_test, step)
+                logger.log_volume("generated_t2w_train", gen_train, step)
 
     host_state = jax.device_get(state)
-    if metrics:
-        ckpts.maybe_save(host_state, {k: float(v) for k, v in metrics.items()},
-                         step)
-    ckpts.save_last(host_state, step)
-    report = timer.report(items_per_step=cfg.train.batch_size)
-    print(f"training done at step {step}: "
-          f"{report['items_per_s']:.2f} vols/s ({report['mean_s']*1e3:.0f} ms/step)")
-    logger.close()
+    if is_main:
+        if metrics:
+            ckpts.maybe_save(host_state,
+                             {k: float(v) for k, v in metrics.items()}, step)
+        ckpts.save_last(host_state, step)
+        report = timer.report(items_per_step=cfg.train.batch_size)
+        print(f"training done at step {step}: "
+              f"{report['items_per_s']:.2f} vols/s "
+              f"({report['mean_s']*1e3:.0f} ms/step)")
+        logger.close()
     return host_state, ckpts

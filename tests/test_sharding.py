@@ -107,3 +107,48 @@ def test_spatial_sharding_generator_only():
     state = replicate(mesh, tr.init(jax.random.PRNGKey(0), jb))
     s2, m2 = jax.jit(tr.train_step)(state, sb)
     assert abs(float(m_ref["g_loss"]) - float(m2["g_loss"])) < 1e-4
+
+
+class TestDistributedBringup:
+    """maybe_initialize_distributed: env gating + argument plumbing.
+
+    True multi-host runs need multiple controllers; here we verify the
+    single-process contract (no-op without the env, correct
+    jax.distributed.initialize arguments with it) — the SPMD compute path
+    itself is identical to the single-controller programs the rest of
+    this suite validates on the 8-device mesh."""
+
+    def test_noop_without_env(self, monkeypatch):
+        from minipig_gan_tpu.parallel import maybe_initialize_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("MINIPIG_DISTRIBUTED", raising=False)
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        assert maybe_initialize_distributed() is False
+        assert calls == []
+
+    def test_explicit_coordinator_env(self, monkeypatch):
+        from minipig_gan_tpu.parallel import maybe_initialize_distributed
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        assert maybe_initialize_distributed() is True
+        assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                          "num_processes": 4, "process_id": 2}]
+
+    def test_pod_autodetect_env(self, monkeypatch):
+        from minipig_gan_tpu.parallel import maybe_initialize_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("MINIPIG_DISTRIBUTED", "1")
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        assert maybe_initialize_distributed() is True
+        assert calls == [{}]  # TPU-pod topology auto-detection
