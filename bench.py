@@ -219,6 +219,9 @@ def main() -> None:
         raise SystemExit(f"bench failed: {last_err}")
 
     semantics = os.environ.get("BENCH_SEMANTICS", "both")
+    if semantics not in ("strict", "fast", "both"):
+        raise SystemExit(
+            f"unknown BENCH_SEMANTICS={semantics!r} (use strict|fast|both)")
     # Fast mode: reuse_g_forward (+7%) and, for gan mode, the fused
     # joint-loss step (+3.8% more; patch mode measured NEUTRAL fused —
     # BENCH_NOTES round-4 — so fast==strict-step-shape there except reuse_g).

@@ -57,9 +57,10 @@ def main(argv=None) -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(out, "w") as f:
         json.dump(split, f)
-    if args.verbose or True:
-        print(f"wrote {out}: " + ", ".join(
-            f"{k}={len(v)}" for k, v in split.items()))
+    # always print the count summary, like the reference scripts' prints
+    # (T1w_data_split.py:64-76)
+    print(f"wrote {out}: " + ", ".join(
+        f"{k}={len(v)}" for k, v in split.items()))
 
 
 if __name__ == "__main__":

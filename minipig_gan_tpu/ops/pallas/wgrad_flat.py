@@ -37,9 +37,9 @@ Design — hybrid "flat-plane shift-dot", XLA im2col + Pallas streaming dot:
   the relayout belongs to XLA's strided-copy machinery, not the VPU.
 
 Supported: Ci == 1, strides (1,1,1), any (small) kernel size, any padding,
-any Co. Grad-exactness vs jax.grad is tested in tests/test_wgrad_flat.py
-(interpret mode) and on-chip in tpu_tests/pallas_parity.py. Measured on the
-v5e chip: see BENCH_NOTES.md round-5 (tpu_tests/wgrad_flat_bench.py).
+any Co. Grad-exactness vs jax.grad is tested in tests/test_pallas_kernels.py
+::test_wgrad_ci1_flat_matches_autodiff (interpret mode); chip measurements
+in tpu_tests/wgrad_flat_bench.py (BENCH_NOTES.md round-5).
 """
 
 from __future__ import annotations

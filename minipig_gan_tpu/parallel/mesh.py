@@ -113,6 +113,13 @@ def maybe_initialize_distributed() -> bool:
         return False
     kwargs = {}
     if addr:
+        missing = [k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if k not in os.environ]
+        if missing:
+            raise RuntimeError(
+                f"JAX_COORDINATOR_ADDRESS is set but {missing} are not — "
+                "explicit multi-host bring-up needs all three (or use "
+                "MINIPIG_DISTRIBUTED=1 on a TPU pod for auto-detection)")
         kwargs = dict(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

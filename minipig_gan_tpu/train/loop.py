@@ -97,7 +97,11 @@ def train(cfg: Config, resume: bool = True,
 
     train_ds, val_ds, test_ds = build_datasets(cfg, log_dir)
     # multi-host: train.batch_size stays the GLOBAL batch (reference
-    # semantics); each process loads and feeds its local slice
+    # semantics). Every process builds the IDENTICAL global-batch stream
+    # (same seed -> same permutation, preserving the reference's
+    # once-per-epoch sampling exactly) and then feeds its own contiguous
+    # slice of each global batch into shard_batch — a true partition, so
+    # no sample is duplicated within a batch or repeated across hosts.
     local_bs = cfg.train.batch_size
     if n_proc > 1:
         if cfg.train.batch_size % n_proc:
@@ -105,10 +109,10 @@ def train(cfg: Config, resume: bool = True,
                 f"train.batch_size={cfg.train.batch_size} must divide by "
                 f"process_count={n_proc} for multi-host DP")
         local_bs = cfg.train.batch_size // n_proc
-    if len(train_ds) < local_bs:
+    if len(train_ds) < cfg.train.batch_size:
         raise ValueError(
-            f"train split has {len(train_ds)} pairs but the per-process "
-            f"batch is {local_bs} (full batches are required for the "
+            f"train split has {len(train_ds)} pairs but batch_size is "
+            f"{cfg.train.batch_size} (full batches are required for the "
             f"static-shape step) — add data or lower train.batch_size."
         )
     if cfg.data.wrap_last_batch:
@@ -117,8 +121,8 @@ def train(cfg: Config, resume: bool = True,
         # dropping the final partial batch
         import math as _math
 
-        wrap = WrapAroundLoader(train_ds, local_bs)
-        steps_per_epoch = _math.ceil(len(train_ds) / local_bs)
+        wrap = WrapAroundLoader(train_ds, cfg.train.batch_size)
+        steps_per_epoch = _math.ceil(len(train_ds) / cfg.train.batch_size)
 
         class _WrapEpochs:
             def epoch(self):
@@ -126,12 +130,21 @@ def train(cfg: Config, resume: bool = True,
 
         loader = _WrapEpochs()
     else:
-        # per-process shuffle streams (seed offset) so hosts draw
-        # different local slices of each global batch
-        loader = BatchLoader(train_ds, local_bs,
+        loader = BatchLoader(train_ds, cfg.train.batch_size,
                              shuffle=cfg.data.shuffle,
-                             seed=cfg.train.seed + jax.process_index(),
-                             drop_last=True)
+                             seed=cfg.train.seed, drop_last=True)
+    if n_proc > 1:
+        lo = jax.process_index() * local_bs
+
+        class _LocalSlice:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def epoch(self):
+                return ({k: v[lo:lo + local_bs] for k, v in b.items()}
+                        for b in self.inner.epoch())
+
+        loader = _LocalSlice(loader)
 
     # example volumes for the per-epoch snapshot (reference uses first test and
     # first train batch, GAN_final.py:476-478)
@@ -152,6 +165,16 @@ def train(cfg: Config, resume: bool = True,
 
         state = restore_state(ckpts.latest_for_resume(), jax.eval_shape(lambda: state))
         print(f"resumed from {ckpts.latest_for_resume()} at step {int(state.step)}")
+    if n_proc > 1:
+        # only process 0 writes checkpoints, so on per-host disks the other
+        # processes may have found nothing (or something stale): make
+        # process 0's state authoritative before declaring it replicated —
+        # otherwise divergent per-host params would be stamped as one
+        # "replicated" global array and the hosts' step bounds would differ
+        # (a distributed hang at exit).
+        from jax.experimental import multihost_utils
+
+        state = multihost_utils.broadcast_one_to_all(state)
     state = replicate(mesh, state)
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
@@ -175,30 +198,36 @@ def train(cfg: Config, resume: bool = True,
     pending: list = []
     metrics: Dict[str, float] = {}
 
-    def flush_and_monitor() -> None:
+    def flush_metrics() -> bool:
+        """Batched metric fetch + per-step logging; returns True if a
+        window was flushed (the monitor checkpoint decision then happens
+        OUTSIDE the step timer — serializing a checkpoint to disk is not
+        train-step time)."""
         nonlocal pending, metrics
         if not pending:
-            return
+            return False
         host = jax.device_get([m for _, m in pending])
         if logger is not None:
             for (s, _), hm in zip(pending, host):
                 logger.log_metrics(hm, s)
         metrics = {k: min(float(hm[k]) for hm in host) for k in host[-1]}
         pending = []
-        if is_main:
-            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+        return True
 
     while step < max_steps:
         batches = DevicePrefetcher(
             loader.epoch(), lambda b: shard_batch(mesh, b), depth=cfg.data.prefetch
         )
         for batch in batches:
+            flushed = False
             with timer.step():
                 state, metrics_dev = step_fn(state, batch)
                 step += 1
                 pending.append((step, metrics_dev))
                 if step % monitor_every == 0 or step >= max_steps:
-                    flush_and_monitor()
+                    flushed = flush_metrics()
+            if flushed and is_main:
+                ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
             if step % cfg.train.checkpoint_every == 0 and is_main:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:
@@ -213,6 +242,7 @@ def train(cfg: Config, resume: bool = True,
                 logger.log_volume("generated_t2w_test", gen_test, step)
                 logger.log_volume("generated_t2w_train", gen_train, step)
 
+    flush_metrics()
     host_state = jax.device_get(state)
     if is_main:
         if metrics:

@@ -134,3 +134,38 @@ def test_pallas_compiled_on_tpu():
     )
     print(proc.stdout, proc.stderr)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_wgrad_ci1_flat_matches_autodiff():
+    """The hybrid XLA-im2col + Pallas streaming-dot Ci=1 wgrad
+    (ops/pallas/wgrad_flat.py): grad-exactness vs jax's own wgrad in
+    interpret mode, for the CasNet in-conv geometries it targets."""
+    from jax import lax
+
+    from minipig_gan_tpu.ops.pallas.wgrad_flat import (
+        conv3d_wgrad_ci1_flat, conv3d_wgrad_ci1_supported,
+    )
+
+    rs = np.random.RandomState(7)
+    for co, k, p, dim in ((16, 3, 1, 12), (4, 3, 1, 10), (8, 2, 0, 9)):
+        x = jnp.asarray(rs.randn(2, dim, dim, dim, 1), jnp.float32)
+        w = jnp.asarray(rs.randn(k, k, k, 1, co) * 0.3, jnp.float32)
+        pads = ((p, p),) * 3
+        assert conv3d_wgrad_ci1_supported(x.shape, (k, k, k), (1, 1, 1))
+
+        def loss(w_):
+            y = lax.conv_general_dilated(
+                x, w_, (1, 1, 1), pads,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return jnp.sum(y * y)
+
+        ref = jax.grad(loss)(w)
+        y = lax.conv_general_dilated(
+            x, w, (1, 1, 1), pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        got = conv3d_wgrad_ci1_flat(x, 2 * y, (k, k, k), (1, 1, 1), pads,
+                                    interpret=True)
+        scale = float(np.max(np.abs(np.asarray(ref)))) or 1.0
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=3e-6, atol=3e-6)
