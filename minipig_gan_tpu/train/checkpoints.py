@@ -26,14 +26,30 @@ from ..config import Config, to_json
 from .gan import GANTrainState
 
 
+def _is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def _multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
 def save_state(path, state: GANTrainState, cfg: Optional[Config] = None) -> None:
+    """Persist a train state. Multi-controller note: orbax saves are
+    COLLECTIVE — every process must call this together (orbax barriers
+    internally and writes from the primary); host-side file bookkeeping
+    happens on process 0 only."""
     path = Path(path).absolute()
-    if path.exists():
+    if _is_main() and path.exists():
         shutil.rmtree(path)
+    if _multiprocess():
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"pre_save:{path.name}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "state", state)
     ckptr.wait_until_finished()
-    if cfg is not None:
+    if cfg is not None and _is_main():
         (path / "config.json").write_text(to_json(cfg))
 
 
@@ -177,11 +193,27 @@ class TopKCheckpointManager:
         """Check every monitor against this step's metrics; save under a
         loss-valued name on improvement. `state` may be the host state or a
         zero-arg callable returning it (so the device->host fetch only
-        happens when some monitor actually improves)."""
+        happens when some monitor actually improves).
+
+        Multi-controller: every process must call this with the same
+        metrics (they are — psum'd scalars). The improvement decision is
+        process 0's (its disk holds the monitor history; the flags are
+        broadcast so every process joins the collective orbax save exactly
+        when process 0 does), and only process 0 touches the index/files."""
         improved = [
             mon for mon in self.monitors
             if mon.metric in metrics and mon.improves(float(metrics[mon.metric]))
         ]
+        if _multiprocess():
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            flags = _np.array(
+                [mon.metric in metrics
+                 and mon.improves(float(metrics[mon.metric]))
+                 for mon in self.monitors], dtype=_np.int32)
+            flags = _np.asarray(multihost_utils.broadcast_one_to_all(flags))
+            improved = [mon for mon, f in zip(self.monitors, flags) if f]
         if not improved:
             return []
         if callable(state):
@@ -196,6 +228,8 @@ class TopKCheckpointManager:
                 parts.append(f"{k}={float(metrics[k]):.2f}")
         path = self.dir / "-".join(parts)
         save_state(path, state, self.cfg)
+        if not _is_main():
+            return [str(path)]
         saved = []
         for mon in improved:
             val = float(metrics[mon.metric])
@@ -213,7 +247,9 @@ class TopKCheckpointManager:
     def save_last(self, state: GANTrainState, step: int) -> str:
         path = self.dir / "last"
         save_state(path, state, self.cfg)
-        (self.dir / "last_step.json").write_text(json.dumps({"step": int(step)}))
+        if _is_main():
+            (self.dir / "last_step.json").write_text(
+                json.dumps({"step": int(step)}))
         return str(path)
 
     def latest_for_resume(self) -> Optional[str]:

@@ -226,9 +226,12 @@ def train(cfg: Config, resume: bool = True,
                 pending.append((step, metrics_dev))
                 if step % monitor_every == 0 or step >= max_steps:
                     flushed = flush_metrics()
-            if flushed and is_main:
+            # checkpoint calls are COLLECTIVE under multi-controller (orbax
+            # barriers internally; process 0 decides + writes, the others
+            # participate) — so no is_main gate here
+            if flushed:
                 ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
-            if step % cfg.train.checkpoint_every == 0 and is_main:
+            if step % cfg.train.checkpoint_every == 0:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:
                 break
@@ -244,11 +247,11 @@ def train(cfg: Config, resume: bool = True,
 
     flush_metrics()
     host_state = jax.device_get(state)
+    if metrics:
+        ckpts.maybe_save(host_state,
+                         {k: float(v) for k, v in metrics.items()}, step)
+    ckpts.save_last(host_state, step)
     if is_main:
-        if metrics:
-            ckpts.maybe_save(host_state,
-                             {k: float(v) for k, v in metrics.items()}, step)
-        ckpts.save_last(host_state, step)
         report = timer.report(items_per_step=cfg.train.batch_size)
         print(f"training done at step {step}: "
               f"{report['items_per_s']:.2f} vols/s "
