@@ -3,7 +3,7 @@
 
 Measures the full alternating GAN train step (6-block CasNet generator +
 global discriminator, 128^3 volumes, bf16 compute — the canonical
-GAN_final.py configuration) and prints ONE JSON line:
+GAN_final.py configuration) and prints JSON result lines:
   {"metric": "train_slices_per_sec_per_chip", "value": N,
    "unit": "slices/s/chip", "vs_baseline": N, ...detail fields}
 
@@ -13,8 +13,28 @@ north-star unit). The reference publishes no throughput numbers
 vs_baseline is reported against THIS framework's round-1 measurement
 (196.33 slices/s/chip, BENCH_r01.json) — our own recorded baseline.
 
-Each run measures BOTH step semantics and reports them side by side
-(VERDICT round-1 item 4):
+UN-LOSABLE CONTRACT (round-3 redesign — round 2's artifact was lost to a
+mid-round tunnel death that the old single-process bench retried into a
+driver timeout, BENCH_r02.json rc=124 parsed:null):
+
+  * The process that owns stdout (the parent) imports NOTHING that can
+    hang. The measurement runs in a CHILD process; the parent enforces a
+    wall-clock budget (env BENCH_BUDGET_S, default 1080 s — well under
+    the driver's ~25 min timeout) and kills the child by pid when it is
+    exceeded.
+  * INCREMENTAL emission: a complete, parseable result line is printed
+    the moment the strict phase is measured; the fast phase then emits an
+    upgraded line. Consumers take the LAST parseable line.
+  * Error CLASSIFICATION in the child: backend-init / UNAVAILABLE /
+    connection errors abort immediately (no smaller batch can fix a dead
+    tunnel); only RESOURCE_EXHAUSTED-class and over-HBM compile failures
+    walk the (batch, accum) fallback chain.
+  * On total failure the parent still prints a parseable line:
+    {"metric": ..., "value": null, "error": ..., "last_known": {...}}
+    where last_known carries the most recent builder-measured numbers
+    (BENCH_NOTES.md) clearly marked as NOT measured by this run.
+
+Each run measures BOTH step semantics and reports them side by side:
   * "strict" — exact GAN_final.py:289-291 reference semantics (the D
     sub-step re-runs G with the just-updated params; two scans). The
     top-level value/vs_baseline are defined on THIS number so the
@@ -29,28 +49,87 @@ count (utils/flops.py — XLA's cost model counts lax.scan bodies once, not
 x length x accum, undercounting the scanned CasNet ~1.5x; the raw XLA
 number is kept as `flops_per_step_xla`); `achieved_tflops` = flops/time
 and `mfu` divides by the chip's peak for the compute dtype (v5e: 197 bf16
-TFLOP/s). The discriminator's wide full-resolution VALID convs carry ~93%
-of step FLOPs (the CasNet is bandwidth-bound, not FLOP-bound).
+TFLOP/s). The `sol` block carries the speed-of-light statement: the MFU
+is architecture-bound, not a scheduling gap — see BENCH_NOTES.md
+"Speed of light" section for the measured argument.
 
-Env knobs: BENCH_BATCH (default 4, auto-falls back 2/1 on OOM),
-BENCH_STEPS (default 10), BENCH_SPATIAL (default 128), BENCH_MODE
-(gan|generator_only|patch, default gan), BENCH_REUSE_G=1 (fast mode:
-reuse the G-step forward in the D step), BENCH_FUSED=1 (single-scan
-joint-loss fast mode on top of reuse_g), BENCH_ACCUM.
+Env knobs: BENCH_BUDGET_S (default 1080), BENCH_BATCH (default 4,
+auto-falls back on OOM), BENCH_STEPS (default 10), BENCH_SPATIAL
+(default 128), BENCH_MODE (gan|generator_only|patch, default gan),
+BENCH_REUSE_G=1, BENCH_FUSED=1, BENCH_ACCUM, BENCH_SEMANTICS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
+# Round-1 driver-recorded baseline (BENCH_r01.json). The reference itself
+# publishes no throughput number to compare against.
+R1_BASELINE = 196.33
 
-def main() -> None:
+# Most recent builder-measured numbers (BENCH_NOTES.md round-5, same-session
+# A/B on the v5e chip). Emitted ONLY inside "last_known" on total failure,
+# explicitly marked as not measured by the failing run.
+LAST_KNOWN = {
+    "source": "BENCH_NOTES.md round-5 (builder-measured, NOT this run)",
+    "strict_slices_per_s_per_chip": 232.1,
+    "strict_train_ms_per_step": 2205.8,
+    "fast_slices_per_s_per_chip": 269.7,
+    "fast_train_ms_per_step": 1898.5,
+}
+
+FATAL_MARKERS = (
+    "unable to initialize backend",
+    "unavailable",
+    "failed to connect",
+    "connection refused",
+    "deadline_exceeded",
+    "socket closed",
+    "backend setup/compile error (unavailable)",
+)
+OOM_MARKERS = ("resource_exhausted", "out of memory", "exceeds the limit")
+
+
+class BenchFatal(RuntimeError):
+    """Backend-level failure that no (batch, accum) fallback can fix."""
+
+
+def classify(exc: Exception) -> str:
+    msg = str(exc).lower()
+    if any(m in msg for m in FATAL_MARKERS):
+        return "fatal"
+    if any(m in msg for m in OOM_MARKERS):
+        return "oom"
+    # e.g. remote-compile INTERNAL errors: without explicit remat, an
+    # over-HBM accum=1 step fails in the compiler instead of raising a
+    # clean OOM — treat unknown as retryable, but the chain is short and
+    # the parent budget bounds the total.
+    return "retry"
+
+
+# --------------------------------------------------------------------------
+# Child: the actual measurement (may hang/die — the parent guards it)
+# --------------------------------------------------------------------------
+
+def child_main() -> None:
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    t_start = time.time()
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
+
     import jax
 
+    # BENCH_PLATFORM=cpu forces the platform through jax.config (this
+    # container's sitecustomize registers the axon TPU plugin in every
+    # interpreter, so the JAX_PLATFORMS env var alone is not honored).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       str(Path.home() / ".cache" / "jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -59,6 +138,8 @@ def main() -> None:
 
     from minipig_gan_tpu.config import Config, TrainConfig
     from minipig_gan_tpu.train import GANTrainer
+
+    print(f"# backend: {jax.devices()}", file=sys.stderr, flush=True)
 
     if os.environ.get("BENCH_CI1_DOT", "1") == "0":  # A/B hook
         from minipig_gan_tpu.ops import fastconv
@@ -77,9 +158,6 @@ def main() -> None:
     # whether or not remat is on (33.8 GB with explicit remat; compile
     # failure without — BENCH_NOTES.md), so don't burn ~100s compiling it.
     a0 = int(os.environ.get("BENCH_ACCUM", "2"))
-    # round-1 measured throughput on this config (BENCH_r01.json) — the
-    # reference itself publishes no number to compare against
-    r1_baseline = 196.33
     # (batch, accum) fallback chain: keep the reference batch size via
     # gradient accumulation before shrinking the batch itself
     candidates = [(b0, a0), (4, 2), (4, 4), (2, 1), (2, 2), (1, 1)]
@@ -94,8 +172,11 @@ def main() -> None:
     def measure(reuse_g: bool, fused: bool, measure_inference: bool):
         """One (batch, accum)-fallback measurement of the train step under
         the given semantics. Returns the detail dict or raises."""
-        last_err = None
+        last_err: Exception | None = None
         for batch_size, accum in dict.fromkeys(candidates):
+            if remaining() < 120:
+                raise BenchFatal(
+                    f"budget exhausted mid-fallback (last error: {last_err})")
             try:
                 cfg = Config(train=TrainConfig(mode=mode,
                                                compute_dtype="bfloat16",
@@ -198,25 +279,27 @@ def main() -> None:
                     "init_s": round(init_s, 1),
                     "g_loss": g_val,
                 }
+                if peak_tflops and analytic_flops:
+                    detail["mxu_floor_ms"] = round(
+                        analytic_flops / (peak_tflops * 1e12) * 1e3, 1)
                 if inf_dt is not None:
                     detail["infer_vols_per_s"] = round(batch_size / inf_dt, 3)
                 return detail
-            except Exception as e:  # OOM / compile failure -> next candidate
+            except BenchFatal:
+                raise
+            except Exception as e:
+                kind = classify(e)
+                if kind == "fatal":
+                    # a dead backend/tunnel: no smaller batch can fix it —
+                    # abort the whole bench NOW (round-2 lesson: the old
+                    # retry-smaller walk burned the driver timeout)
+                    raise BenchFatal(str(e).splitlines()[0][:300]) from e
                 last_err = e
-                msg = str(e).lower()
-                if "resource_exhausted" in msg or "out of memory" in msg:
-                    print(f"# batch {batch_size} accum {accum} OOM, "
-                          "retrying smaller", file=sys.stderr)
-                else:
-                    # e.g. remote-compile INTERNAL errors: without explicit
-                    # remat, an over-HBM accum=1 step fails in the compiler
-                    # instead of raising a clean OOM — fall through to the
-                    # next candidate rather than aborting the bench.
-                    print(f"# batch {batch_size} accum {accum} failed "
-                          f"({str(e).splitlines()[0][:120]}), retrying smaller",
-                          file=sys.stderr)
+                print(f"# batch {batch_size} accum {accum} {kind} "
+                      f"({str(e).splitlines()[0][:120]}), retrying smaller",
+                      file=sys.stderr, flush=True)
                 continue
-        raise SystemExit(f"bench failed: {last_err}")
+        raise BenchFatal(f"all candidates failed: {last_err}")
 
     semantics = os.environ.get("BENCH_SEMANTICS", "both")
     if semantics not in ("strict", "fast", "both"):
@@ -229,35 +312,179 @@ def main() -> None:
     fast_fused = (fast_reuse and os.environ.get(
         "BENCH_FUSED", "1" if mode == "gan" else "0") == "1")
 
+    def emit(strict, fast, note=None):
+        """Print one COMPLETE parseable result line (consumers take the
+        last line; each emission is a valid artifact on its own)."""
+        head = strict or fast
+        result = {
+            "metric": "train_slices_per_sec_per_chip",
+            "value": head["slices_per_s_per_chip"],
+            "unit": "slices/s/chip",
+            "vs_baseline": round(head["slices_per_s_per_chip"] / R1_BASELINE, 3),
+            "semantics": "strict" if strict else "fast",
+            "spatial": spatial,
+            "mode": mode,
+            "device": str(jax.devices()[0]),
+            # the speed-of-light statement the headline must carry: ~11% MFU
+            # is the architecture's number, not a scheduling gap
+            "sol": {
+                "peak_tflops_bf16": 197.0,
+                "mxu_floor_ms": head.get("mxu_floor_ms"),
+                "achieved_tflops": head.get("achieved_tflops"),
+                "mfu": head.get("mfu"),
+                "statement": (
+                    "MFU is architecture-bound at reference parity: the "
+                    "discriminator's 64-256ch VALID convs at odd extents "
+                    "(126^3/124^3/61^3/29^3) pad every MXU tile and carry "
+                    "~93% of step FLOPs; >=80% of remaining non-conv time "
+                    "measured AT the practical HBM roofline (physical "
+                    "tile-padded bytes vs 690 GB/s). See BENCH_NOTES.md "
+                    "'Speed of light' section for the measured budget."),
+            },
+        }
+        if strict:
+            result["strict"] = strict
+        if fast:
+            result["fast"] = fast
+            result["infer_vols_per_s"] = fast.get("infer_vols_per_s")
+        elif strict and "infer_vols_per_s" in strict:
+            result["infer_vols_per_s"] = strict["infer_vols_per_s"]
+        if note:
+            result["note"] = note
+        print(json.dumps(result), flush=True)
+
     strict = fast = None
     if semantics in ("strict", "both"):
-        strict = measure(reuse_g=False, fused=False,
-                         measure_inference=(semantics == "strict"))
+        strict = measure(reuse_g=False, fused=False, measure_inference=True)
+        emit(strict, None)  # the artifact is safe from this moment on
     if semantics in ("fast", "both"):
-        fast = measure(reuse_g=fast_reuse, fused=fast_fused,
-                       measure_inference=True)
+        if remaining() < 180 and strict is not None:
+            emit(strict, None, note="budget too low for fast phase; "
+                                    "strict-only artifact")
+            return
+        try:
+            fast = measure(reuse_g=fast_reuse, fused=fast_fused,
+                           measure_inference=True)
+        except BenchFatal as e:
+            if strict is None:
+                raise
+            emit(strict, None, note=f"fast phase failed ({e}); "
+                                    "strict-only artifact")
+            return
+        emit(strict, fast)
 
-    # the official headline (value / vs_baseline) is the reference-parity
-    # STRICT number; the fast-mode figure rides along in "fast"
-    head = strict or fast
-    result = {
-        "metric": "train_slices_per_sec_per_chip",
-        "value": head["slices_per_s_per_chip"],
-        "unit": "slices/s/chip",
-        "vs_baseline": round(head["slices_per_s_per_chip"] / r1_baseline, 3),
-        "semantics": "strict" if strict else "fast",
-        "spatial": spatial,
-        "mode": mode,
-        "device": str(jax.devices()[0]),
-    }
-    if strict:
-        result["strict"] = strict
-    if fast:
-        result["fast"] = fast
-        result["infer_vols_per_s"] = fast.get("infer_vols_per_s")
-    elif strict and "infer_vols_per_s" in strict:
-        result["infer_vols_per_s"] = strict["infer_vols_per_s"]
-    print(json.dumps(result))
+
+# --------------------------------------------------------------------------
+# Parent: stdlib-only watchdog that owns stdout and cannot hang
+# --------------------------------------------------------------------------
+
+def parent_main() -> None:
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+        text=True, bufsize=1)
+
+    last_parsed = None
+    timed_out = False
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        left = budget_s - (time.time() - t0)
+        if left <= 0:
+            timed_out = True
+            break
+        if not sel.select(timeout=min(left, 5.0)):
+            if proc.poll() is not None:
+                break
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":
+            if proc.poll() is not None:
+                break
+            continue
+        line = (buf + chunk).strip()
+        buf = ""
+        if not line:
+            continue
+        try:
+            parsed = json.loads(line)
+            if isinstance(parsed, dict) and "metric" in parsed:
+                last_parsed = parsed
+                print(line, flush=True)  # pass through, last line wins
+            else:
+                print(f"# child: {line}", file=sys.stderr, flush=True)
+        except json.JSONDecodeError:
+            print(f"# child: {line}", file=sys.stderr, flush=True)
+
+    if timed_out:
+        try:
+            proc.kill()  # direct kill of the known child pid
+        except OSError:
+            pass
+        if last_parsed is not None:
+            last_parsed["note"] = (
+                f"wall-clock budget ({budget_s:.0f}s) exhausted after this "
+                "phase; later phases skipped")
+            print(json.dumps(last_parsed), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "train_slices_per_sec_per_chip",
+                "value": None,
+                "unit": "slices/s/chip",
+                "vs_baseline": None,
+                "error": f"bench exceeded BENCH_BUDGET_S={budget_s:.0f}s "
+                         "with no measurement (backend hang?)",
+                "last_known": LAST_KNOWN,
+            }), flush=True)
+        return
+
+    rc = proc.wait()
+    # drain anything still buffered
+    tail = proc.stdout.read() or ""
+    for line in tail.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            parsed = json.loads(line)
+            if isinstance(parsed, dict) and "metric" in parsed:
+                last_parsed = parsed
+                print(line, flush=True)
+        except json.JSONDecodeError:
+            print(f"# child: {line}", file=sys.stderr, flush=True)
+    if last_parsed is None:
+        print(json.dumps({
+            "metric": "train_slices_per_sec_per_chip",
+            "value": None,
+            "unit": "slices/s/chip",
+            "vs_baseline": None,
+            "error": f"bench child exited rc={rc} with no parseable result",
+            "last_known": LAST_KNOWN,
+        }), flush=True)
+
+
+def main() -> None:
+    if os.environ.get("BENCH_CHILD") == "1":
+        try:
+            child_main()
+        except BenchFatal as e:
+            print(json.dumps({
+                "metric": "train_slices_per_sec_per_chip",
+                "value": None,
+                "unit": "slices/s/chip",
+                "vs_baseline": None,
+                "error": f"fatal backend error: {e}",
+                "last_known": LAST_KNOWN,
+            }), flush=True)
+            raise SystemExit(3)
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

@@ -42,9 +42,20 @@ def build_config(args: argparse.Namespace, **direct_overrides) -> Config:
 
 def setup_jax_cache() -> None:
     """Persistent XLA compile cache — first compiles on the remote-compile TPU
-    path are expensive; this makes them one-time per program."""
+    path are expensive; this makes them one-time per program.
+
+    Also honors MINIPIG_PLATFORM=cpu|tpu|axon: this container's sitecustomize
+    registers the axon TPU plugin in every interpreter, so the standard
+    JAX_PLATFORMS env var is not reliably honored — the platform must be
+    forced through jax.config before backends initialize (the same trick as
+    tests/conftest.py). Lets every CLI run on CPU when the TPU tunnel is
+    down or absent."""
+    import os
+
     import jax
 
+    if os.environ.get("MINIPIG_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MINIPIG_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       str(Path.home() / ".cache" / "jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

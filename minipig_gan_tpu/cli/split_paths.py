@@ -7,9 +7,12 @@ writes `{out_dir}/{modality}_paths.json` with the reference's schema:
 `{"train": [...], "val": [...], "test": [...]}`.
 
 Two split policies:
-  * default — the reference's exact semantics (sorted paths, count-based
-    80/10/10 cut, then subject-leak repair with train > val > test
-    precedence; deterministic, T1w_data_split.py:29-61);
+  * default — the reference's exact split MEMBERSHIP (sorted paths,
+    count-based 80/10/10 cut, then subject-leak repair with train > val >
+    test precedence; deterministic, T1w_data_split.py:29-61). Within-split
+    ordering is normalized to sorted order — the reference appends
+    leak-repaired paths at the end instead — so don't index-align against
+    a reference-generated list;
   * --by-subject — leak-free-by-construction subject-level shuffle split
     (data/structure.py split_path_list, seeded).
 """

@@ -97,6 +97,11 @@ class TrainConfig:
     # only the scan merge applies. Generated volumes flow to the D terms
     # as live values instead of a scanned stack. Same update math as
     # reuse_g; BN running-stat EMA order interleaves per microbatch.
+    # CAVEAT (kind='monai'): a discriminator with train-mode dropout draws
+    # DIFFERENT rng masks in the G-loss and D-loss fake passes (fresh masks
+    # per apply — torch semantics), so the two forwards are no longer
+    # identical HLO and the CSE merge does not happen: fused is correct but
+    # buys only the single-scan win there, like patch mode.
     fused_step: bool = False
     # numeric policy: params fp32; compute dtype for convs.
     compute_dtype: str = "bfloat16"
@@ -121,6 +126,15 @@ class TrainConfig:
     # expensive (e.g. tunneled devices) — early training improves nearly
     # every step and would otherwise checkpoint-storm.
     monitor_every: int = 1
+    # With monitor_every > 1, keep a device-side copy of the train state at
+    # each monitored key's within-window argmin step, so monitor checkpoints
+    # save the EXACT state that achieved the monitored value (Lightning
+    # ModelCheckpoint semantics, GAN_final.py:448-472) instead of the
+    # window-boundary state (<= monitor_every-1 steps of drift). Costs one
+    # extra state copy in HBM per monitored key (~3 x ~200 MB at the
+    # canonical config) plus a per-step masked select over the state (~1 ms
+    # at HBM rate vs the 2.2 s step). Turn off if HBM-constrained.
+    monitor_exact: bool = True
     checkpoint_every: int = 500
     # checkpoints kept per loss monitor (reference: save_top_k=1)
     keep_top_k: int = 1

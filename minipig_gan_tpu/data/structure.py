@@ -132,7 +132,7 @@ def split_path_list_reference(
     splits: Sequence[float] = (0.8, 0.1, 0.1),
     subject_pattern: str = r"sub-\d+",
 ) -> Dict[str, List[str]]:
-    """The reference's flat-list split semantics, exactly
+    """The reference's flat-list split MEMBERSHIP semantics
     (code/metadata/T1w_data_split.py:29-61 / T2w_data_split.py):
 
       1. sort all paths, cut by COUNT at 80%/10% (not by subject);
@@ -141,9 +141,14 @@ def split_path_list_reference(
          subject with any path in the train cut keeps ALL its paths in
          train; else any path in the val cut -> all in val; else test".
 
-    Deterministic (no shuffle — the reference has none). Output keys are
-    the reference file's: train/val/test (written to T1w_paths.json-style
-    artifacts by cli/split_paths.py)."""
+    Deterministic (no shuffle — the reference has none). Split MEMBERSHIP
+    is exactly the reference's (verified against a simulation of its
+    mutate-while-iterating loops); within-split ORDERING is normalized to
+    global sorted order, whereas the reference appends leak-repaired
+    subjects' paths to the END of the receiving list — so don't pair this
+    tool's output with a reference-generated list BY INDEX. Output keys
+    are the reference file's: train/val/test (written to
+    T1w_paths.json-style artifacts by cli/split_paths.py)."""
     import re
 
     assert len(splits) == 3

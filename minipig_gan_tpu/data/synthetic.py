@@ -36,12 +36,31 @@ def synthetic_pair(
     seed: int = 0,
     rotate: bool = False,
     extent_mm: float = 220.0,
+    shared_tex: float = 0.02,
+    indep_tex: float = 0.035,
+    noise: float = 0.12,
 ) -> Tuple[np.ndarray, np.ndarray, ImageMeta]:
     """Return (t1w, t2w, meta) with shared anatomy, differing contrast.
 
     Default spacing is derived from `extent_mm` so the phantom occupies a
     head-realistic physical extent — the human canonical 256mm resampling grid
-    (transforms.py:140-147) then actually samples it."""
+    (transforms.py:140-147) then actually samples it.
+
+    Texture model (round-3 revision): the in-head texture decomposes into a
+    SHARED anatomical component (`shared_tex`) plus an INDEPENDENT
+    per-modality component (`indep_tex`), and both modalities carry
+    independent receiver noise (`noise`). The earlier fixture gave T1 and T2
+    the identical texture realization with near-zero noise, which made the
+    T1-identity baseline's estimated mutual information unrealistically
+    strong (the phantom's T1 voxel value nearly determined T2 — identity MI
+    0.710 vs generated 0.603 in results/patch_128_r5, INVERTED vs the
+    reference's real-data anchors where generated MI 0.292 beats identity
+    0.196, code/eval/t2_gen_vs_t2_gt.xml). With the decomposed texture the
+    noisy T1 spreads across histogram bins while a denoising generator's
+    output concentrates them, reproducing the real-data MI ordering
+    (validated in tpu_tests/mi_fixture_analysis.py: a conservative
+    denoise-LUT generator stand-in beats identity by +0.057±0.004 MI at
+    the committed bins=64 convention, consistent at bins 32/128)."""
     rng = np.random.RandomState(seed)
     if spacing is None:
         jitter = rng.uniform(0.85, 1.1, 3)
@@ -63,18 +82,26 @@ def synthetic_pair(
         mask = r < scale
         t1[mask] = i1
         t2[mask] = i2
-    # smooth-ish anatomy texture + independent per-modality thermal noise.
-    # The shared texture is applied only INSIDE the head: real T1w/T2w scans
-    # share anatomy, but their background is independent receiver noise —
-    # a correlated background would make the T1-identity baseline
-    # unrealistically strong (the reference's real-data identity baseline is
-    # beaten 2.7x, MAE 11.851 vs 4.365; MI(t1,t2)=0.196 << self-MI 0.445).
-    tex = rng.randn(*shape_zyx).astype(np.float32)
-    for axis in range(3):  # cheap blur
-        tex = 0.5 * tex + 0.25 * (np.roll(tex, 1, axis) + np.roll(tex, -1, axis))
+    # Texture (see docstring): shared + independent smooth components inside
+    # the head, independent receiver noise everywhere. Applied only INSIDE
+    # the head because real scans share anatomy but their background is
+    # independent receiver noise — a correlated background would make the
+    # T1-identity baseline unrealistically strong (reference real-data
+    # anchors: identity MAE 11.851 vs generated 4.365; MI(t1,t2)=0.196 <<
+    # self-MI 0.445).
+    def _smooth(v: np.ndarray) -> np.ndarray:
+        for axis in range(3):  # cheap blur
+            v = 0.5 * v + 0.25 * (np.roll(v, 1, axis) + np.roll(v, -1, axis))
+        return v
+
+    tex_shared = _smooth(rng.randn(*shape_zyx).astype(np.float32))
+    tex_t1 = _smooth(rng.randn(*shape_zyx).astype(np.float32))
+    tex_t2 = _smooth(rng.randn(*shape_zyx).astype(np.float32))
     inside = (r < _COMPARTMENTS[0][0]).astype(np.float32)
-    t1 += 0.05 * tex * inside + 0.01 * rng.randn(*shape_zyx).astype(np.float32)
-    t2 += 0.05 * tex * inside + 0.01 * rng.randn(*shape_zyx).astype(np.float32)
+    t1 += (shared_tex * tex_shared + indep_tex * tex_t1) * inside \
+        + noise * rng.randn(*shape_zyx).astype(np.float32)
+    t2 += (shared_tex * tex_shared + indep_tex * tex_t2) * inside \
+        + noise * rng.randn(*shape_zyx).astype(np.float32)
     t1 *= 1000.0  # MRI-like raw intensity scale
     t2 *= 800.0
 

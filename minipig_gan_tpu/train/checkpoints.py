@@ -189,19 +189,24 @@ class TopKCheckpointManager:
         return {p for m in self.monitors for _, p in m.top}
 
     def maybe_save(self, state, metrics: Dict[str, float],
-                   step: int) -> List[str]:
+                   step: int, only: Optional[List[str]] = None) -> List[str]:
         """Check every monitor against this step's metrics; save under a
         loss-valued name on improvement. `state` may be the host state or a
         zero-arg callable returning it (so the device->host fetch only
-        happens when some monitor actually improves).
+        happens when some monitor actually improves). `only` restricts the
+        check to the named monitors — the exact-state monitor path
+        (train.monitor_exact) calls once per key with that key's own argmin
+        state.
 
         Multi-controller: every process must call this with the same
         metrics (they are — psum'd scalars). The improvement decision is
         process 0's (its disk holds the monitor history; the flags are
         broadcast so every process joins the collective orbax save exactly
         when process 0 does), and only process 0 touches the index/files."""
+        monitors = (self.monitors if only is None else
+                    [m for m in self.monitors if m.metric in only])
         improved = [
-            mon for mon in self.monitors
+            mon for mon in monitors
             if mon.metric in metrics and mon.improves(float(metrics[mon.metric]))
         ]
         if _multiprocess():
@@ -211,9 +216,9 @@ class TopKCheckpointManager:
             flags = _np.array(
                 [mon.metric in metrics
                  and mon.improves(float(metrics[mon.metric]))
-                 for mon in self.monitors], dtype=_np.int32)
+                 for mon in monitors], dtype=_np.int32)
             flags = _np.asarray(multihost_utils.broadcast_one_to_all(flags))
-            improved = [mon for mon, f in zip(self.monitors, flags) if f]
+            improved = [mon for mon, f in zip(monitors, flags) if f]
         if not improved:
             return []
         if callable(state):

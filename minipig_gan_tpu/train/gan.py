@@ -449,8 +449,13 @@ class GANTrainer:
         second scan or a stacked generated-volume buffer. In 'patch' mode
         the G and D terms draw independent patch sets (as the reference's
         two training_step calls do), so no forward is shared — the win is
-        the single scan. Update math identical to the unfused reuse_g step;
-        BN EMA order interleaves per microbatch."""
+        the single scan. Same for a dropout-carrying discriminator
+        (kind='monai'): the G and D fake passes draw different dropout rngs
+        (fold_in g_rng_mb vs d_rng_mb — fresh masks per apply, torch
+        semantics), so the forwards are not identical HLO and CSE cannot
+        merge them; fused stays correct but only the scan merge applies.
+        Update math identical to the unfused reuse_g step; BN EMA order
+        interleaves per microbatch."""
         one_sided = self.cfg.train.one_sided_label_value
         use_patches = self.mode == "patch"
         use_perceptual = use_patches and self.cfg.discriminator.use_perceptual

@@ -192,27 +192,80 @@ def train(cfg: Config, resume: bool = True,
     # preserved (each buffered step is logged at its own step index, just
     # delivered at the boundary), and the loss monitors see the per-key
     # MIN over the window — value parity with Lightning's per-step
-    # ModelCheckpoint monitors (GAN_final.py:448-472). The checkpointed
-    # state is the boundary state: exact when monitor_every == 1, a
-    # documented <=monitor_every-step drift otherwise.
+    # ModelCheckpoint monitors (GAN_final.py:448-472).
+    #
+    # Which STATE those monitors save (train.monitor_exact, default on):
+    # a device-side best tracker keeps, per monitored key, a copy of the
+    # train state at the key's within-window argmin step — one masked
+    # select per step, no host traffic — so the checkpoint holds the EXACT
+    # weights that achieved the monitored value (Lightning semantics) and
+    # the index records values the saved state actually achieved. With
+    # monitor_exact=false the boundary state is saved instead (exact at
+    # monitor_every == 1, <= monitor_every-1 steps of drift otherwise) —
+    # the index then records the window-min VALUE against boundary WEIGHTS,
+    # a phantom minimum that can also reject genuinely better later states.
     pending: list = []
     metrics: Dict[str, float] = {}
+    window_rows: list = []
+
+    monitor_keys = [m.metric for m in ckpts.monitors]
+    exact = bool(cfg.train.monitor_exact) and monitor_every > 1
+    best = None  # {key: (value_dev, state_dev)} — device-side, exact mode
+
+    def _update_best(best, new_state, metrics_dev):
+        out = {}
+        for k, (bv, bs) in best.items():
+            val = metrics_dev[k].astype(jnp.float32)
+            better = val < bv
+            out[k] = (
+                jnp.where(better, val, bv),
+                jax.tree.map(
+                    lambda n, o: jnp.where(better, n, o), new_state, bs),
+            )
+        return out
+
+    update_best = jax.jit(_update_best, donate_argnums=0)
+
+    def _reset_best_vals(best):
+        return {k: (jnp.full((), jnp.inf, jnp.float32), bs)
+                for k, (bv, bs) in best.items()}
+
+    reset_best_vals = jax.jit(_reset_best_vals, donate_argnums=0)
 
     def flush_metrics() -> bool:
         """Batched metric fetch + per-step logging; returns True if a
         window was flushed (the monitor checkpoint decision then happens
         OUTSIDE the step timer — serializing a checkpoint to disk is not
         train-step time)."""
-        nonlocal pending, metrics
+        nonlocal pending, metrics, window_rows
         if not pending:
             return False
         host = jax.device_get([m for _, m in pending])
         if logger is not None:
             for (s, _), hm in zip(pending, host):
                 logger.log_metrics(hm, s)
+        window_rows = [(s, {k: float(v) for k, v in hm.items()})
+                       for (s, _), hm in zip(pending, host)]
         metrics = {k: min(float(hm[k]) for hm in host) for k in host[-1]}
         pending = []
         return True
+
+    def save_monitors() -> None:
+        """Monitor-checkpoint decision for the just-flushed window."""
+        if not exact:
+            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+            return
+        # exact mode: per key, save that key's own argmin state; label it
+        # with the argmin STEP's full metric row (a consistent snapshot of
+        # the step the weights come from, not a min over mixed steps)
+        nonlocal best
+        for k in monitor_keys:
+            if not window_rows or k not in window_rows[0][1]:
+                continue
+            s_k, m_k = min(window_rows, key=lambda r: r[1][k])
+            ckpts.maybe_save(lambda: jax.device_get(best[k][1]),
+                             m_k, s_k, only=[k])
+        best = reset_best_vals(best)
 
     while step < max_steps:
         batches = DevicePrefetcher(
@@ -223,6 +276,22 @@ def train(cfg: Config, resume: bool = True,
             with timer.step():
                 state, metrics_dev = step_fn(state, batch)
                 step += 1
+                if exact:
+                    if best is None:
+                        # first step: seed every tracked key with this
+                        # step's value and state (one extra state copy per
+                        # monitored key lives in HBM from here on).
+                        # jnp.copy throughout: the seeded buffers must be
+                        # OWNED by `best` — update_best donates them, and a
+                        # buffer shared with `pending` or `state` would be
+                        # deleted out from under its other reader.
+                        best = {
+                            k: (jnp.copy(metrics_dev[k].astype(jnp.float32)),
+                                jax.tree.map(jnp.copy, state))
+                            for k in monitor_keys if k in metrics_dev
+                        }
+                    else:
+                        best = update_best(best, state, metrics_dev)
                 pending.append((step, metrics_dev))
                 if step % monitor_every == 0 or step >= max_steps:
                     flushed = flush_metrics()
@@ -230,7 +299,7 @@ def train(cfg: Config, resume: bool = True,
             # barriers internally; process 0 decides + writes, the others
             # participate) — so no is_main gate here
             if flushed:
-                ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+                save_monitors()
             if step % cfg.train.checkpoint_every == 0:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:

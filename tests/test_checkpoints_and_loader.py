@@ -150,3 +150,60 @@ class TestWrapAroundLoader:
         )
         state, _ = train(cfg, resume=False)
         assert int(state.step) == 2
+
+
+class TestExactMonitorCheckpoints:
+    def test_window_argmin_state_saved(self, tmp_path):
+        """With monitor_every=4 + monitor_exact, the saved monitor
+        checkpoint must hold the state of the step that ACHIEVED the
+        monitored min — i.e. be identical (params and step) to what the
+        per-step monitor_every=1 run saves (Lightning ModelCheckpoint
+        semantics, GAN_final.py:448-472). Closes VERDICT round-2 weak #6:
+        the boundary-state drift, and the ADVICE round-2 phantom-minimum
+        index entry (the recorded values now come from the argmin step's
+        own metric row)."""
+        import json
+
+        from minipig_gan_tpu.train.checkpoints import restore_state
+        from minipig_gan_tpu.train.loop import train
+
+        def run(log_dir, monitor_every):
+            cfg = Config(
+                generator=GeneratorConfig(n_unet_blocks=1, channels=(2, 4),
+                                          strides=(2,)),
+                discriminator=DiscriminatorConfig(features=(2, 2, 2, 2)),
+                train=TrainConfig(batch_size=2, compute_dtype="float32",
+                                  max_steps=8, checkpoint_every=100,
+                                  log_every=100, mode="gan", seed=3,
+                                  monitor_every=monitor_every,
+                                  monitor_exact=True),
+                data=DataConfig(spatial_size=(16, 16, 16), cache_num=16,
+                                num_workers=2, synthetic_num_pairs=6),
+                log_dir=str(log_dir),
+            )
+            state, ckpts = train(cfg, resume=False)
+            idx = json.loads(
+                (log_dir / "checkpoints" / "index.json").read_text())
+            return state, ckpts, idx
+
+        state1, ckpts1, idx1 = run(tmp_path / "every1", 1)
+        state4, ckpts4, idx4 = run(tmp_path / "every4", 4)
+
+        abstract = jax.eval_shape(lambda: state1)
+        for metric in ("g_loss", "g_recon_loss", "d_loss"):
+            (v1, p1), = idx1[metric]["top"]
+            (v4, p4), = idx4[metric]["top"]
+            # same monitored value AND same achieving step recorded
+            assert v1 == pytest.approx(v4, rel=1e-6), metric
+            step_of = lambda p: p.split("step=")[1].split("-")[0]
+            assert step_of(p1) == step_of(p4), metric
+            # the saved weights are the achieving step's own weights
+            s1 = restore_state(p1, abstract)
+            s4 = restore_state(p4, abstract)
+            assert int(s1.step) == int(s4.step) == int(step_of(p1)), metric
+            for a, b in zip(jax.tree.leaves(s1.g_params),
+                            jax.tree.leaves(s4.g_params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(s1.d_params),
+                            jax.tree.leaves(s4.d_params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

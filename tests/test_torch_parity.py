@@ -217,3 +217,43 @@ def test_monai_discriminator_parity():
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert not np.allclose(np.asarray(y_tr1), np.asarray(y_jax))
     assert not np.allclose(np.asarray(y_tr1), np.asarray(y_tr2))
+
+
+def test_monai_discriminator_train_dropout_statistics():
+    """Train-MODE dropout parity, statistically (ADVICE round-2: the torch
+    mirror previously omitted nn.Dropout so the 1/(1-p) inverted scaling and
+    conv->Dropout->PReLU placement were never checked against torch). With
+    identical transplanted weights, the train-mode logit distribution over
+    independent dropout masks must agree between torch and JAX in mean and
+    spread — a wrong keep-probability scaling shifts every activation by
+    (1-p) and fails the mean check; a missing/extra dropout site changes the
+    spread. Deterministic given the fixed seeds."""
+    from minipig_gan_tpu.models import MonaiDiscriminator
+
+    n_draws = 32
+    x = np.random.RandomState(5).randn(2, 32, 32, 32, 1).astype(np.float32)
+
+    jm = MonaiDiscriminator()
+    variables = jm.init(jax.random.PRNGKey(7), jnp.asarray(x), train=False)
+
+    tm = torch_ref.MonaiDiscriminator(in_spatial=32)
+    torch_ref.copy_monai_discriminator(
+        tm, jax.tree.map(np.asarray, variables["params"]))
+
+    apply_tr = jax.jit(lambda rng: jm.apply(
+        variables, jnp.asarray(x), train=True, rngs={"dropout": rng}))
+    y_j = np.stack([np.asarray(apply_tr(jax.random.PRNGKey(i)))
+                    for i in range(n_draws)])
+
+    tm.train()
+    torch.manual_seed(123)
+    with torch.no_grad():
+        y_t = np.stack([tm(to_torch_nchw(x)).numpy() for _ in range(n_draws)])
+
+    m_j, m_t = y_j.mean(axis=0), y_t.mean(axis=0)
+    s_j, s_t = y_j.std(axis=0), y_t.std(axis=0)
+    se = np.maximum(s_j, s_t) / np.sqrt(n_draws)
+    assert np.all(np.abs(m_j - m_t) < 5 * se + 1e-3), (m_j, m_t, se)
+    # spreads within 2x of each other (same number of dropout sites)
+    assert np.all(s_j < 2 * s_t + 1e-3) and np.all(s_t < 2 * s_j + 1e-3), (
+        s_j, s_t)

@@ -21,11 +21,12 @@ def same_pad(k: int) -> int:
 
 
 class Convolution(nn.Sequential):
-    """MONAI 0.4.0 Convolution: conv[/transpose] -> BN -> PReLU (unless
-    conv_only). norm=None drops just the BN (ADN skips None entries)."""
+    """MONAI 0.4.0 Convolution: conv[/transpose] -> BN -> Dropout -> PReLU
+    (ADN ordering "NDA"; unless conv_only). norm=None drops just the BN
+    (ADN skips None entries); dropout=0 skips the Dropout."""
 
     def __init__(self, in_ch, out_ch, strides=1, kernel_size=3, conv_only=False,
-                 is_transposed=False, norm="batch"):
+                 is_transposed=False, norm="batch", dropout=0.0):
         super().__init__()
         p = same_pad(kernel_size)
         if is_transposed:
@@ -38,12 +39,14 @@ class Convolution(nn.Sequential):
         if not conv_only:
             if norm is not None:
                 self.add_module("norm", nn.BatchNorm3d(out_ch))
+            if dropout > 0:
+                self.add_module("drop", nn.Dropout(dropout))
             self.add_module("act", nn.PReLU())
 
 
 class ResidualUnit(nn.Module):
     def __init__(self, in_ch, out_ch, strides=1, kernel_size=3, subunits=2,
-                 last_conv_only=False, norm="batch"):
+                 last_conv_only=False, norm="batch", dropout=0.0):
         super().__init__()
         self.conv = nn.Sequential()
         self.residual = nn.Identity()
@@ -54,7 +57,7 @@ class ResidualUnit(nn.Module):
             self.conv.add_module(
                 f"unit{su}",
                 Convolution(sch, out_ch, strides=sstr, kernel_size=kernel_size,
-                            conv_only=conv_only, norm=norm),
+                            conv_only=conv_only, norm=norm, dropout=dropout),
             )
             sch, sstr = out_ch, 1
         if strides != 1 or in_ch != out_ch:
@@ -196,13 +199,18 @@ class PatchPerceptualDiscriminator(nn.Module):
 class MonaiDiscriminator(nn.Module):
     """Mirror of the reference's MONAI 0.4.0 Discriminator config
     (perceptual_test.py:127-141): per channel entry one
-    ResidualUnit(subunits=2, norm=None, act=PRELU, last_conv_only=is_last),
-    all strides 2, then Flatten -> Linear(prod -> 1) (DHWC-ordered flatten to
-    map 1:1 onto the channels-last JAX head). Returns logits."""
+    ResidualUnit(subunits=2, norm=None, act=PRELU, last_conv_only=is_last,
+    dropout=0.25 — the 0.4.0 Discriminator default the reference does not
+    override, docs/AUDIT_MONAI_040.md §5), all strides 2, then Flatten ->
+    Linear(prod -> 1) (DHWC-ordered flatten to map 1:1 onto the
+    channels-last JAX head). Returns logits. Eval mode is deterministic;
+    train() engages the nn.Dropout layers (conv -> Dropout -> PReLU, ADN
+    "NDA" with norm=None) for the statistical train-mode parity check in
+    test_torch_parity.py."""
 
     def __init__(self, channels=(8, 16, 32, 64, 128, 256, 1),
                  strides=(2, 2, 2, 2, 2, 2, 2, 1), num_res_units=2,
-                 kernel_size=3, in_spatial=32):
+                 kernel_size=3, in_spatial=32, dropout=0.25):
         super().__init__()
         self.net = nn.Sequential()
         in_ch, size = 1, in_spatial
@@ -212,7 +220,8 @@ class MonaiDiscriminator(nn.Module):
                 f"layer{i}",
                 ResidualUnit(in_ch, c, strides=s, kernel_size=kernel_size,
                              subunits=num_res_units,
-                             last_conv_only=i == len(pairs) - 1, norm=None),
+                             last_conv_only=i == len(pairs) - 1, norm=None,
+                             dropout=dropout),
             )
             in_ch = c
             size = (size + 2 * same_pad(kernel_size) - kernel_size) // s + 1

@@ -1,0 +1,158 @@
+"""Mutual-information analysis of the synthetic fixture + estimator
+sensitivity sweep (VERDICT round-2 items: the MI-ordering overclaim and the
+bins/range sensitivity gap).
+
+Background. The reference's external-tool MI anchors (BASELINE.md rows 7-8,
+/root/reference/code/eval/*.xml) order as
+    MI(t2_gen, t2_gt) 0.292  >  MI(t1_gt, t2_gt) 0.196,  ceiling 0.445 —
+the trained generator BEATS the T1-identity baseline on estimated MI.
+The true data-processing inequality says MI(g(t1), t2) <= MI(t1, t2) for any
+deterministic g; the estimated ordering flips because the ESTIMATOR is a
+binned joint histogram: receiver noise on t1 spreads its mass across bins
+(lowering identity MI), while a denoising generator concentrates its output
+into few bins per tissue class (raising the estimate). The ordering is
+therefore a property of noisy data + binned estimation, not of information
+flow — which is exactly why the round-2 fixture (T1/T2 sharing the identical
+texture realization, ~1% noise) INVERTED it: its T1 was nearly noiseless, so
+identity MI stayed near the oracle's.
+
+This script validates the round-3 fixture (data/synthetic.py: shared +
+independent texture components, realistic receiver noise) reproduces the
+real-data ordering, using a per-compartment denoising LUT as a conservative
+stand-in for a trained generator (a conv net with spatial context can only
+do better), and sweeps the estimator's bins/range to show the ordering is
+stable across conventions (the external tool's binning is undocumented).
+
+CPU-runnable:  python tpu_tests/mi_fixture_analysis.py [--resample] [--n 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=6, help="pairs per config")
+    p.add_argument("--shape", type=int, default=64)
+    p.add_argument("--resample", action="store_true",
+                   help="run the canonical-grid resample first (slower; the "
+                        "ordering conclusion is the same)")
+    p.add_argument("--old-fixture", action="store_true",
+                   help="use the round-2 fixture parameters (identical "
+                        "shared texture, 1%% noise) to demonstrate the "
+                        "inversion this analysis explains")
+    args = p.parse_args()
+
+    import os
+
+    import jax
+
+    # CPU by default: the analysis is small and must run when the TPU tunnel
+    # is down (the sitecustomize-registered axon plugin would hang backend
+    # init). MINIPIG_PLATFORM=tpu opts back in.
+    jax.config.update("jax_platforms",
+                      os.environ.get("MINIPIG_PLATFORM", "cpu"))
+    from minipig_gan_tpu.data.synthetic import synthetic_pair
+    from minipig_gan_tpu.ops.metrics import mutual_information
+    from minipig_gan_tpu.ops.percentile import (
+        rescale_to_uint8_range,
+        scale_intensity_range_percentiles,
+    )
+
+    fixture_kw = (dict(shared_tex=0.05, indep_tex=0.0, noise=0.01)
+                  if args.old_fixture else {})
+
+    def norm(v):
+        return np.asarray(
+            scale_intensity_range_percentiles(v, 1.0, 99.0, -1.0, 1.0))
+
+    def u8(v):
+        return np.asarray(rescale_to_uint8_range(v))
+
+    def preprocess(vol, meta):
+        if not args.resample:
+            return norm(vol)
+        from minipig_gan_tpu.data.pipeline import human_canonical_grid
+        from minipig_gan_tpu.ops.resample import resample_numpy
+
+        grid = human_canonical_grid((128, 128, 128), 256.0)
+        return norm(resample_numpy(vol, meta, grid))
+
+    def lut_gen(source: np.ndarray, target: np.ndarray) -> np.ndarray:
+        """Per-tissue LUT: map each source voxel to the mean target
+        intensity of its source-quantile class (32 classes)."""
+        qs = np.quantile(source, np.linspace(0, 1, 33)[1:-1])
+        cls = np.digitize(source, qs)
+        gen = np.zeros_like(target)
+        for c in range(32):
+            m = cls == c
+            if m.any():
+                gen[m] = float(target[m].mean())
+        return gen
+
+    def box_denoise(v: np.ndarray, radius: int = 2) -> np.ndarray:
+        """Separable box blur — stands in for the spatial-context noise
+        averaging a conv net's receptive field performs (a 3D U-Net's
+        effective receptive field spans >100 voxels; radius 2 = 125-voxel
+        average is conservative)."""
+        out = v.astype(np.float64)
+        k = 2 * radius + 1
+        for ax in range(3):
+            c = np.cumsum(np.pad(out, [(radius + 1, radius) if a == ax
+                                       else (0, 0) for a in range(3)],
+                                 mode="edge"), axis=ax)
+            out = (np.take(c, range(k, c.shape[ax]), axis=ax)
+                   - np.take(c, range(c.shape[ax] - k), axis=ax)) / k
+        return out.astype(np.float32)
+
+    shape = (args.shape,) * 3
+    rows = []
+    bins_sweep = (32, 64, 128, 256)
+    for seed in range(args.n):
+        t1, t2, meta = synthetic_pair(shape_zyx=shape, seed=seed, **fixture_kw)
+        t1n, t2n = preprocess(t1, meta), preprocess(t2, meta)
+        # Two generator stand-ins:
+        #  * voxelwise LUT — NO spatial context: t1 noise propagates
+        #    through the map, so its MI stays pinned near identity's
+        #    (diagnostic: shows context is what buys the MI win);
+        #  * denoising LUT — the same map on receptive-field-averaged t1,
+        #    a conservative stand-in for a trained conv generator.
+        gen_vox = lut_gen(t1n, t2n)
+        gen_den = lut_gen(box_denoise(t1n), t2n)
+        v8, d8, t8, i8 = u8(gen_vox), u8(gen_den), u8(t2n), u8(t1n)
+        per_bins = {}
+        for bins in bins_sweep:
+            per_bins[bins] = (
+                float(mutual_information(i8, t8, bins=bins)),
+                float(mutual_information(v8, t8, bins=bins)),
+                float(mutual_information(d8, t8, bins=bins)),
+                float(mutual_information(t8, t8, bins=bins)),
+            )
+        rows.append(per_bins)
+
+    print(f"fixture={'round-2 (old)' if args.old_fixture else 'round-3'} "
+          f"resample={args.resample} n={args.n} shape={shape}")
+    print(f"{'bins':>5} {'MI identity':>12} {'MI voxel-LUT':>13} "
+          f"{'MI denoise-gen':>15} {'MI self':>9}  ordering")
+    for bins in bins_sweep:
+        ident = np.array([r[bins][0] for r in rows])
+        vox = np.array([r[bins][1] for r in rows])
+        den = np.array([r[bins][2] for r in rows])
+        self_ = np.array([r[bins][3] for r in rows])
+        ok = "denoise-gen > identity  (matches reference anchors)" \
+            if den.mean() > ident.mean() else "INVERTED"
+        print(f"{bins:>5} {ident.mean():>7.3f}±{ident.std():.3f} "
+              f"{vox.mean():>8.3f}±{vox.std():.3f} "
+              f"{den.mean():>9.3f}±{den.std():.3f} "
+              f"{self_.mean():>8.3f}  {ok}")
+
+
+if __name__ == "__main__":
+    main()
