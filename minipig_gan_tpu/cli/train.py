@@ -36,12 +36,13 @@ def main(argv=None) -> None:
                              "with a small --steps")
     args = parser.parse_args(argv)
 
-    # multi-host bring-up (no-op unless the env requests it) — must run
-    # before any jax backend use
+    # config-only setup first (MINIPIG_PLATFORM + compile cache — sets
+    # jax.config values, initializes no backend), THEN multi-host bring-up
+    # (no-op unless the env requests it) before any jax backend use
+    setup_jax_cache()
     from ..parallel import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    setup_jax_cache()
     cfg = build_config(
         args,
         **{

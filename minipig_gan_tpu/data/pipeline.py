@@ -130,40 +130,73 @@ class PairPreprocessor:
 
 class CachedDataset:
     """Preprocess-once in-RAM cache (CacheDataset semantics, GAN_final.py:
-    400-419: cache_num items eagerly via num_workers; the rest lazily)."""
+    400-419: cache_num items eagerly via num_workers; the rest lazily).
+
+    `lazy=True` skips the eager build and instead memoizes items on first
+    access, bounded by cache_num with FIFO eviction. This is the multi-host
+    mode: each process then preprocesses and holds ONLY the items its local
+    batch slice actually reads (~1/process_count of the stream) instead of
+    every process eagerly preprocessing the identical first cache_num items
+    it will mostly never serve. At reference scale the eager full cache is
+    impossible anyway (4,731 pairs x 16 MB = ~76 GB/host); lazy + loader
+    `select` bounds both RAM and preprocessing to the host's own share.
+    """
 
     def __init__(self, pairs: Sequence[Dict[str, str]],
                  preprocessor: PairPreprocessor,
-                 cache_num: int = 500, num_workers: int = 8):
+                 cache_num: int = 500, num_workers: int = 8,
+                 lazy: bool = False):
         self.pairs = list(pairs)
         self.pre = preprocessor
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
-        n_cache = min(cache_num, len(self.pairs))
-        if n_cache > 0:
+        self._cache_num = min(cache_num, len(self.pairs))
+        self._lazy = lazy
+        self._lock = threading.Lock()
+        self.n_preprocessed = 0  # observability: total preprocess calls
+        if not lazy and self._cache_num > 0:
             with ThreadPoolExecutor(max_workers=max(1, num_workers)) as ex:
-                for i, item in zip(range(n_cache),
-                                   ex.map(self.pre, self.pairs[:n_cache])):
+                for i, item in zip(range(self._cache_num),
+                                   ex.map(self.pre, self.pairs[:self._cache_num])):
                     self._cache[i] = item
+            self.n_preprocessed = self._cache_num
 
     def __len__(self) -> int:
         return len(self.pairs)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        if i in self._cache:
-            return self._cache[i]
-        return self.pre(self.pairs[i])
+        with self._lock:
+            if i in self._cache:
+                return self._cache[i]
+        item = self.pre(self.pairs[i])
+        with self._lock:
+            self.n_preprocessed += 1
+            if self._lazy and self._cache_num > 0:
+                if len(self._cache) >= self._cache_num:
+                    # FIFO eviction (dict preserves insertion order)
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[i] = item
+        return item
 
 
 class BatchLoader:
     """Shuffled batcher over a CachedDataset (torch DataLoader semantics:
-    shuffle per epoch, keep the last partial batch — GAN_final.py:421-425)."""
+    shuffle per epoch, keep the last partial batch — GAN_final.py:421-425).
+
+    `select=(lo, hi)` yields only columns [lo, hi) of every GLOBAL batch —
+    the multi-host data-parallel partition. The permutation is a pure
+    function of the seed, so every process computes the identical global
+    batch order and materializes (preprocesses) ONLY its own slice's items:
+    a true partition of each global batch with no item ever loaded by two
+    hosts, and no host streaming data it doesn't feed to its chips."""
 
     def __init__(self, dataset: CachedDataset, batch_size: int,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 select: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.select = select
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -180,6 +213,8 @@ class BatchLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
+            if self.select is not None:
+                idx = idx[self.select[0]:self.select[1]]
             items = [self.dataset[int(i)] for i in idx]
             yield {
                 k: np.stack([it[k] for it in items])
@@ -195,9 +230,11 @@ class WrapAroundLoader:
     is full-size (its workaround for drop-last). Useful for steady-state
     benchmarking and fixed-shape step counts."""
 
-    def __init__(self, dataset: CachedDataset, batch_size: int):
+    def __init__(self, dataset: CachedDataset, batch_size: int,
+                 select: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.select = select  # multi-host local slice, as in BatchLoader
         self._idx = 0
 
     def __iter__(self):
@@ -206,7 +243,9 @@ class WrapAroundLoader:
     def __next__(self) -> Dict[str, np.ndarray]:
         if self._idx + self.batch_size > len(self.dataset):
             self._idx = 0
-        items = [self.dataset[self._idx + i] for i in range(self.batch_size)]
+        cols = range(self.batch_size) if self.select is None else \
+            range(self.select[0], self.select[1])
+        items = [self.dataset[self._idx + i] for i in cols]
         self._idx += self.batch_size
         return {
             k: np.stack([it[k] for it in items])

@@ -111,6 +111,15 @@ def maybe_initialize_distributed() -> bool:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not (addr or os.environ.get("MINIPIG_DISTRIBUTED") == "1"):
         return False
+    # CPU fleets need a cross-process collectives backend; gloo is the one
+    # jax ships. Auto-select it when the platform is forced to cpu
+    # (MINIPIG_CPU_COLLECTIVES=none opts out; TPU pods ignore this — their
+    # collectives ride ICI/DCN natively).
+    coll = os.environ.get("MINIPIG_CPU_COLLECTIVES", "gloo")
+    if coll != "none" and (
+            os.environ.get("MINIPIG_PLATFORM") == "cpu"
+            or os.environ.get("JAX_PLATFORMS", "") == "cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", coll)
     kwargs = {}
     if addr:
         missing = [k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")

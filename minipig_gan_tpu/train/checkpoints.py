@@ -250,15 +250,48 @@ class TopKCheckpointManager:
         return saved
 
     def save_last(self, state: GANTrainState, step: int) -> str:
-        path = self.dir / "last"
+        """Crash-safe rolling resume checkpoint: write to a step-suffixed
+        directory, then COMMIT by atomically replacing the last_step.json
+        pointer, then GC the previous directory. A process killed mid-save
+        leaves the previous committed checkpoint untouched (the round-2
+        scheme rmtree'd `last` before rewriting it in place — a kill inside
+        the save window lost the resume point). A `last` symlink tracks the
+        committed directory for external consumers."""
+        import os
+
+        path = self.dir / f"last-{int(step)}"
         save_state(path, state, self.cfg)
-        if _is_main():
-            (self.dir / "last_step.json").write_text(
-                json.dumps({"step": int(step)}))
+        if not _is_main():
+            return str(path)
+        tmp = self.dir / "last_step.json.tmp"
+        tmp.write_text(json.dumps({"step": int(step), "path": str(path)}))
+        os.replace(tmp, self.dir / "last_step.json")  # the commit point
+        link = self.dir / "last"
+        if not (link.exists() and link.is_dir() and not link.is_symlink()):
+            # best-effort compat symlink (skipped for legacy in-place dirs)
+            tmp_link = self.dir / ".last.tmp"
+            try:
+                if tmp_link.is_symlink() or tmp_link.exists():
+                    tmp_link.unlink()
+                os.symlink(path.name, tmp_link)
+                os.replace(tmp_link, link)
+            except OSError:
+                pass
+        for d in self.dir.glob("last-*"):
+            if d != path and d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
         return str(path)
 
     def latest_for_resume(self) -> Optional[str]:
-        p = self.dir / "last"
+        js = self.dir / "last_step.json"
+        if js.exists():
+            try:
+                p = json.loads(js.read_text()).get("path", "")
+                if p and Path(p).exists():
+                    return p
+            except (json.JSONDecodeError, OSError):
+                pass
+        p = self.dir / "last"  # legacy layout
         return str(p) if p.exists() else None
 
     def best_for(self, metric: str) -> Optional[str]:

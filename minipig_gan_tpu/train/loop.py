@@ -40,10 +40,14 @@ from .checkpoints import TopKCheckpointManager
 from .gan import GANTrainer, GANTrainState
 
 
-def build_datasets(cfg: Config, log_dir: Path):
+def build_datasets(cfg: Config, log_dir: Path, lazy_train: bool = False):
     """structure.json -> cached train/val/test datasets. With no
     structure_json configured, generates a synthetic BIDS fixture
-    (data/synthetic.py) so the end-to-end loop runs anywhere."""
+    (data/synthetic.py) so the end-to-end loop runs anywhere.
+
+    `lazy_train=True` (multi-host): skip the eager train-cache build and
+    memoize on access, so each process only ever preprocesses the items its
+    local batch slice reads (see CachedDataset.lazy)."""
     structure_json = cfg.data.structure_json
     if not structure_json:
         n = cfg.data.synthetic_num_pairs or 8
@@ -60,7 +64,7 @@ def build_datasets(cfg: Config, log_dir: Path):
     pairs = split_pairs(structure)
     pre = PairPreprocessor(cfg.data)
     train_ds = CachedDataset(pairs["train"], pre, cfg.data.cache_num,
-                             cfg.data.num_workers)
+                             cfg.data.num_workers, lazy=lazy_train)
     val_ds = CachedDataset(pairs["validation"], pre, min(10, cfg.data.cache_num),
                            max(2, cfg.data.num_workers // 4))
     test_ds = CachedDataset(pairs["test"], pre, min(10, cfg.data.cache_num),
@@ -95,13 +99,14 @@ def train(cfg: Config, resume: bool = True,
     trainer = GANTrainer(cfg)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
-    train_ds, val_ds, test_ds = build_datasets(cfg, log_dir)
     # multi-host: train.batch_size stays the GLOBAL batch (reference
-    # semantics). Every process builds the IDENTICAL global-batch stream
+    # semantics). Every process computes the IDENTICAL global batch order
     # (same seed -> same permutation, preserving the reference's
-    # once-per-epoch sampling exactly) and then feeds its own contiguous
-    # slice of each global batch into shard_batch — a true partition, so
-    # no sample is duplicated within a batch or repeated across hosts.
+    # once-per-epoch sampling exactly) but via the loaders' `select` only
+    # MATERIALIZES its own contiguous slice of each global batch — a true
+    # partition (no sample duplicated within a batch or repeated across
+    # hosts) in which each host preprocesses only ~1/n_proc of the stream
+    # (lazy per-host caching; round 2 built the full cache on every host).
     local_bs = cfg.train.batch_size
     if n_proc > 1:
         if cfg.train.batch_size % n_proc:
@@ -109,6 +114,12 @@ def train(cfg: Config, resume: bool = True,
                 f"train.batch_size={cfg.train.batch_size} must divide by "
                 f"process_count={n_proc} for multi-host DP")
         local_bs = cfg.train.batch_size // n_proc
+    local_sel = None
+    if n_proc > 1:
+        lo = jax.process_index() * local_bs
+        local_sel = (lo, lo + local_bs)
+    train_ds, val_ds, test_ds = build_datasets(cfg, log_dir,
+                                               lazy_train=n_proc > 1)
     if len(train_ds) < cfg.train.batch_size:
         raise ValueError(
             f"train split has {len(train_ds)} pairs but batch_size is "
@@ -121,7 +132,8 @@ def train(cfg: Config, resume: bool = True,
         # dropping the final partial batch
         import math as _math
 
-        wrap = WrapAroundLoader(train_ds, cfg.train.batch_size)
+        wrap = WrapAroundLoader(train_ds, cfg.train.batch_size,
+                                select=local_sel)
         steps_per_epoch = _math.ceil(len(train_ds) / cfg.train.batch_size)
 
         class _WrapEpochs:
@@ -132,19 +144,8 @@ def train(cfg: Config, resume: bool = True,
     else:
         loader = BatchLoader(train_ds, cfg.train.batch_size,
                              shuffle=cfg.data.shuffle,
-                             seed=cfg.train.seed, drop_last=True)
-    if n_proc > 1:
-        lo = jax.process_index() * local_bs
-
-        class _LocalSlice:
-            def __init__(self, inner):
-                self.inner = inner
-
-            def epoch(self):
-                return ({k: v[lo:lo + local_bs] for k, v in b.items()}
-                        for b in self.inner.epoch())
-
-        loader = _LocalSlice(loader)
+                             seed=cfg.train.seed, drop_last=True,
+                             select=local_sel)
 
     # example volumes for the per-epoch snapshot (reference uses first test and
     # first train batch, GAN_final.py:476-478)
