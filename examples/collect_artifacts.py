@@ -78,19 +78,24 @@ def main() -> None:
     summary = {
         "checkpoint": str(ckpt.name),
         "n_test_cases": len(per_case),
-        "mae_gen": agg.get("mae_t2gen_vs_t2gt"),
-        "mae_identity": agg.get("mae_t1gt_vs_t2gt"),
-        "mae_ratio_pct": agg.get("mae_ratio_pct"),
-        "mse_gen": agg.get("mse_t2gen_vs_t2gt"),
-        "mse_identity": agg.get("mse_t1gt_vs_t2gt"),
-        "mse_ratio_pct": agg.get("mse_ratio_pct"),
-        "psnr_gen": agg.get("psnr_t2gen_vs_t2gt"),
-        "psnr_identity": agg.get("psnr_t1gt_vs_t2gt"),
-        "ssim_gen": agg.get("ssim_t2gen_vs_t2gt"),
-        "ssim_identity": agg.get("ssim_t1gt_vs_t2gt"),
-        "mi_gen": agg.get("mi_t2gen_vs_t2gt"),
-        "mi_identity": agg.get("mi_t1gt_vs_t2gt"),
     }
+    for out_key, agg_key in (
+        ("mae_gen", "mae_t2gen_vs_t2gt"),
+        ("mae_identity", "mae_t1gt_vs_t2gt"),
+        ("mse_gen", "mse_t2gen_vs_t2gt"),
+        ("mse_identity", "mse_t1gt_vs_t2gt"),
+        ("psnr_gen", "psnr_t2gen_vs_t2gt"),
+        ("psnr_identity", "psnr_t1gt_vs_t2gt"),
+        ("ssim_gen", "ssim_t2gen_vs_t2gt"),
+        ("ssim_identity", "ssim_t1gt_vs_t2gt"),
+        ("mi_gen", "mi_t2gen_vs_t2gt"),
+        ("mi_identity", "mi_t1gt_vs_t2gt"),
+    ):
+        summary[out_key] = agg.get(agg_key)
+        summary[f"{out_key}_std"] = agg.get(f"{agg_key}_std")
+    for k in ("mae_ratio_pct", "mae_ratio_pct_std",
+              "mse_ratio_pct", "mse_ratio_pct_std"):
+        summary[k] = agg.get(k)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 

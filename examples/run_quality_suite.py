@@ -1,0 +1,105 @@
+"""Round-3 quality suite: the three committed-evidence training runs at
+canonical scale on one TPU chip, with n>=20 held-out test pairs and
+mean±std reporting (VERDICT round-2 item 4).
+
+Runs (all on the round-3 synthetic fixture — decomposed texture + realistic
+receiver noise, data/synthetic.py — with 80 subjects: 40 train / 20 val /
+20 test pairs):
+
+  1. canonical   — 6-block CasNet + global D (GAN_final.py config),
+                   g_lr=2e-3 (fixture-tuned; the reference's 5e-4 was tuned
+                   for PREDICT-HD), 1250 steps;
+  2. patch       — config-3: patch discriminator + perceptual loss
+                   (test_runs/GAN.py), 1100 steps;
+  3. patch_noperc— the reference's own ablation twin (test_runs/GAN2.py:
+                   use_perceptual=False), same budget — the perceptual
+                   on/off QUALITY A/B the reference ran as GAN.py vs GAN2.py.
+
+Each run is evaluated at its best-g_recon checkpoint on the 20 test pairs
+via examples/collect_artifacts.py (per-case metrics, mean±std, reference-
+format JSONs, boxplot, loss curves) into results/<name>_r3/.
+
+Usage (on the chip):  python examples/run_quality_suite.py [--only NAME]
+                      [--steps-scale 0.1]   # smoke: 10% of the step budget
+Env: MINIPIG_PLATFORM=cpu to dry-run the plumbing on CPU at tiny scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+COMMON = [
+    "--synthetic",
+    "--set", "data.synthetic_num_pairs=80",
+    "--set", "train.g_lr=2e-3",
+    "--set", "train.monitor_every=50",
+    "--set", "train.checkpoint_every=250",
+    "--set", "train.seed=0",
+    "--no-resume",
+]
+
+RUNS = {
+    "canonical": dict(
+        steps=1250,
+        args=["--mode", "gan"],
+    ),
+    "patch": dict(
+        steps=1100,
+        args=["--mode", "patch"],
+    ),
+    "patch_noperc": dict(
+        steps=1100,
+        args=["--mode", "patch", "--set", "discriminator.use_perceptual=false"],
+    ),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None, choices=list(RUNS) + [None])
+    p.add_argument("--steps-scale", type=float, default=1.0)
+    p.add_argument("--runs-dir", default=str(REPO / "runs"))
+    p.add_argument("--results-dir", default=str(REPO / "results"))
+    p.add_argument("--tiny", action="store_true",
+                   help="16^3 volumes, 12 subjects, tiny models — CPU "
+                        "plumbing dry-run")
+    args = p.parse_args()
+
+    for name, spec in RUNS.items():
+        if args.only and name != args.only:
+            continue
+        steps = max(2, int(spec["steps"] * args.steps_scale))
+        log_dir = Path(args.runs_dir) / f"q3_{name}"
+        cmd = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
+               *COMMON, *spec["args"],
+               "--steps", str(steps), "--log-dir", str(log_dir)]
+        if args.tiny:
+            cmd += ["--set", "data.spatial_size=16,16,16",
+                    "--set", "data.synthetic_num_pairs=12",
+                    "--set", "generator.n_unet_blocks=1",
+                    "--set", "generator.channels=2,4",
+                    "--set", "generator.strides=2",
+                    "--set", "discriminator.features=2,2,2,2",
+                    "--set", "discriminator.patch_features=2,2,2,2",
+                    "--set", "discriminator.patch_hidden=4",
+                    "--set", "patch.roi_size=8,8,8",
+                    "--set", "patch.num_samples=4",
+                    "--set", "train.monitor_every=2",
+                    "--set", "train.compute_dtype=float32"]
+        print(f"=== {name}: {steps} steps -> {log_dir}", flush=True)
+        subprocess.run(cmd, check=True, cwd=str(REPO))
+
+        out = Path(args.results_dir) / f"{name}_r3"
+        collect = [sys.executable, str(REPO / "examples/collect_artifacts.py"),
+                   "--run", str(log_dir), "--out", str(out)]
+        print(f"=== collect {name} -> {out}", flush=True)
+        subprocess.run(collect, check=True, cwd=str(REPO))
+
+
+if __name__ == "__main__":
+    main()

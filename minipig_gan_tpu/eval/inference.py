@@ -233,15 +233,29 @@ def run_inference(
 
 def aggregate_report(per_case: Dict[str, Dict[str, float]]) -> Dict[str, float]:
     """Mean over cases + gen/identity ratios x100 (plot_mae.py:10-21,
-    average_mse.py:10-21 semantics; lower ratio = better)."""
+    average_mse.py:10-21 semantics; lower ratio = better). Also reports the
+    across-case standard deviation (`{k}_std`) and the case count — quality
+    claims need variance, not just point estimates (the reference aggregates
+    462 pairs; small-fixture runs must show their spread)."""
     if not per_case:
         return {}
     keys = next(iter(per_case.values())).keys()
-    agg = {k: float(np.mean([c[k] for c in per_case.values()])) for k in keys}
+    vals = {k: np.asarray([c[k] for c in per_case.values()], np.float64)
+            for k in keys}
+    agg = {k: float(v.mean()) for k, v in vals.items()}
     out = dict(agg)
+    out.update({f"{k}_std": float(v.std(ddof=1)) if v.size > 1 else 0.0
+                for k, v in vals.items()})
+    out["n_cases"] = len(per_case)
     for m in ("mae", "mse"):
         gen = agg.get(f"{m}_t2gen_vs_t2gt")
         ident = agg.get(f"{m}_t1gt_vs_t2gt")
         if gen is not None and ident:
             out[f"{m}_ratio_pct"] = 100.0 * gen / ident
+            # per-case ratio spread (the reference's boxplot quantity,
+            # plot_mae.py:14)
+            per_ratio = 100.0 * vals[f"{m}_t2gen_vs_t2gt"] / np.maximum(
+                vals[f"{m}_t1gt_vs_t2gt"], 1e-12)
+            out[f"{m}_ratio_pct_std"] = (
+                float(per_ratio.std(ddof=1)) if per_ratio.size > 1 else 0.0)
     return out

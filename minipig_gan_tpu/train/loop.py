@@ -278,21 +278,36 @@ def train(cfg: Config, resume: bool = True,
                 state, metrics_dev = step_fn(state, batch)
                 step += 1
                 if exact:
-                    if best is None:
-                        # first step: seed every tracked key with this
-                        # step's value and state (one extra state copy per
-                        # monitored key lives in HBM from here on).
-                        # jnp.copy throughout: the seeded buffers must be
-                        # OWNED by `best` — update_best donates them, and a
-                        # buffer shared with `pending` or `state` would be
-                        # deleted out from under its other reader.
-                        best = {
-                            k: (jnp.copy(metrics_dev[k].astype(jnp.float32)),
-                                jax.tree.map(jnp.copy, state))
-                            for k in monitor_keys if k in metrics_dev
-                        }
-                    else:
-                        best = update_best(best, state, metrics_dev)
+                    try:
+                        if best is None:
+                            # first step: seed every tracked key with this
+                            # step's value and state (one extra state copy
+                            # per monitored key lives in HBM from here on).
+                            # jnp.copy throughout: the seeded buffers must
+                            # be OWNED by `best` — update_best donates them,
+                            # and a buffer shared with `pending` or `state`
+                            # would be deleted out from under its other
+                            # reader.
+                            best = {
+                                k: (jnp.copy(
+                                        metrics_dev[k].astype(jnp.float32)),
+                                    jax.tree.map(jnp.copy, state))
+                                for k in monitor_keys if k in metrics_dev
+                            }
+                        else:
+                            best = update_best(best, state, metrics_dev)
+                    except Exception as e:  # noqa: BLE001 — HBM fallback
+                        # the per-key state copies didn't fit next to the
+                        # train step (tight-HBM configs): degrade to
+                        # boundary-state monitors rather than aborting
+                        msg = str(e).lower()
+                        if ("resource_exhausted" not in msg
+                                and "out of memory" not in msg):
+                            raise
+                        print("monitor_exact: per-key state copies exceed "
+                              "HBM; falling back to boundary-state monitors "
+                              f"({e!s:.120})")
+                        exact, best = False, None
                 pending.append((step, metrics_dev))
                 if step % monitor_every == 0 or step >= max_steps:
                     flushed = flush_metrics()
