@@ -14,8 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
+import sys
 from pathlib import Path
+
+# APPEND the repo root (never prepend: the reference-parity code/ directory
+# would shadow the stdlib `code` module)
+sys.path.append(str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
@@ -29,6 +35,8 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("MINIPIG_PLATFORM"):  # force-CPU when the tunnel is down
+        jax.config.update("jax_platforms", os.environ["MINIPIG_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       str(Path.home() / ".cache" / "jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -68,6 +68,12 @@ def main() -> None:
     p.add_argument("--tiny", action="store_true",
                    help="16^3 volumes, 12 subjects, tiny models — CPU "
                         "plumbing dry-run")
+    p.add_argument("--cpu32", action="store_true",
+                   help="PROVISIONAL CPU-scale evidence: 32^3 volumes, "
+                        "reduced (but non-toy) models, same 80-subject/"
+                        "20-test-pair fixture and metric chain — real "
+                        "trained-generator quality numbers when the TPU is "
+                        "unavailable; NOT the canonical 128^3 config")
     args = p.parse_args()
 
     for name, spec in RUNS.items():
@@ -78,6 +84,18 @@ def main() -> None:
         cmd = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
                *COMMON, *spec["args"],
                "--steps", str(steps), "--log-dir", str(log_dir)]
+        if args.cpu32:
+            cmd += ["--set", "data.spatial_size=32,32,32",
+                    "--set", "generator.n_unet_blocks=4",
+                    "--set", "generator.channels=8,16,32",
+                    "--set", "generator.strides=2,2",
+                    "--set", "discriminator.features=16,32,64,64",
+                    "--set", "discriminator.patch_features=16,32,64,128",
+                    "--set", "discriminator.patch_hidden=32",
+                    "--set", "patch.roi_size=12,12,12",
+                    "--set", "patch.num_samples=32",
+                    "--set", "train.monitor_every=10",
+                    "--set", "train.compute_dtype=float32"]
         if args.tiny:
             cmd += ["--set", "data.spatial_size=16,16,16",
                     "--set", "data.synthetic_num_pairs=12",
@@ -87,7 +105,7 @@ def main() -> None:
                     "--set", "discriminator.features=2,2,2,2",
                     "--set", "discriminator.patch_features=2,2,2,2",
                     "--set", "discriminator.patch_hidden=4",
-                    "--set", "patch.roi_size=8,8,8",
+                    "--set", "patch.roi_size=12,12,12",
                     "--set", "patch.num_samples=4",
                     "--set", "train.monitor_every=2",
                     "--set", "train.compute_dtype=float32"]
