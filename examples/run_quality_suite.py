@@ -73,7 +73,14 @@ def main() -> None:
                         "reduced (but non-toy) models, same 80-subject/"
                         "20-test-pair fixture and metric chain — real "
                         "trained-generator quality numbers when the TPU is "
-                        "unavailable; NOT the canonical 128^3 config")
+                        "unavailable; NOT the canonical 128^3 config. "
+                        "Measured ~74 s/step on this 1-core box — needs a "
+                        "many-hour budget")
+    p.add_argument("--cpu16", action="store_true",
+                   help="PROVISIONAL CPU-scale evidence at 16^3 (the "
+                        "1-core-budget variant of --cpu32: ~3-4 s/step, a "
+                        "full 3-run suite fits in ~2-3 h); same 80-subject/"
+                        "20-test-pair fixture and metric chain")
     args = p.parse_args()
 
     for name, spec in RUNS.items():
@@ -84,6 +91,19 @@ def main() -> None:
         cmd = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
                *COMMON, *spec["args"],
                "--steps", str(steps), "--log-dir", str(log_dir)]
+        if args.cpu16:
+            cmd += ["--set", "data.spatial_size=16,16,16",
+                    "--set", "generator.n_unet_blocks=2",
+                    "--set", "generator.channels=8,16",
+                    "--set", "generator.strides=2",
+                    "--set", "discriminator.features=8,16,32,32",
+                    "--set", "discriminator.patch_features=8,16,32,64",
+                    "--set", "discriminator.patch_hidden=16",
+                    "--set", "patch.roi_size=12,12,12",
+                    "--set", "patch.num_samples=32",
+                    "--set", "train.monitor_every=10",
+                    "--set", "train.image_log_every_epochs=0",
+                    "--set", "train.compute_dtype=float32"]
         if args.cpu32:
             cmd += ["--set", "data.spatial_size=32,32,32",
                     "--set", "generator.n_unet_blocks=4",
