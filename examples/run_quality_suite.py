@@ -76,6 +76,10 @@ def main() -> None:
                         "unavailable; NOT the canonical 128^3 config. "
                         "Measured ~74 s/step on this 1-core box — needs a "
                         "many-hour budget")
+    p.add_argument("--extra-set", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="additional --set overrides appended after the "
+                        "preset's (last one wins in the CLI)")
     p.add_argument("--cpu16", action="store_true",
                    help="PROVISIONAL CPU-scale evidence at 16^3 (the "
                         "1-core-budget variant of --cpu32: ~3-4 s/step, a "
@@ -129,6 +133,8 @@ def main() -> None:
                     "--set", "patch.num_samples=4",
                     "--set", "train.monitor_every=2",
                     "--set", "train.compute_dtype=float32"]
+        for kv in args.extra_set:
+            cmd += ["--set", kv]
         print(f"=== {name}: {steps} steps -> {log_dir}", flush=True)
         subprocess.run(cmd, check=True, cwd=str(REPO))
 
