@@ -149,6 +149,14 @@ def child_main() -> None:
         from minipig_gan_tpu.ops import fastconv
 
         fastconv.set_d_tap_wgrad(True)
+    if os.environ.get("BENCH_CI1_TAPS_MAJOR", "0") == "1":  # A/B hook
+        from minipig_gan_tpu.ops import fastconv
+
+        fastconv.set_ci1_taps_major(True)
+    if os.environ.get("BENCH_CI1_PALLAS", "0") == "1":  # A/B hook
+        from minipig_gan_tpu.ops import fastconv
+
+        fastconv.set_ci1_pallas(True)
 
     spatial = int(os.environ.get("BENCH_SPATIAL", "128"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))

@@ -151,6 +151,16 @@ def _wgrad_im2col_ci1(xp, dy, kernel_size: Int3, strides: Int3):
     n = xp.shape[0]
     o = dy.shape[1:4]
     co = dy.shape[-1]
+    k = kernel_size
+    if (_CI1_PALLAS and strides == (1, 1, 1) and k[0] == k[1] == k[2]
+            and all(xp.shape[1 + i] == o[i] + k[i] - 1 for i in range(3))
+            and jax.default_backend() == "tpu"):
+        # single-pass Pallas tap-reduce: no patch matrix at all (see
+        # ops/pallas/tap_reduce_kernel.py). Chip A/B hook: BENCH_CI1_PALLAS=1.
+        from .pallas.tap_reduce_kernel import tap_reduce_wgrad_pallas
+
+        dw = tap_reduce_wgrad_pallas(xp[..., 0], dy, k[0])
+        return dw.reshape(*k, 1, co).astype(dy.dtype)
     cols = []
     for td, th, tw in _taps(kernel_size):
         v = lax.slice(
@@ -160,11 +170,22 @@ def _wgrad_im2col_ci1(xp, dy, kernel_size: Int3, strides: Int3):
              tw + (o[2] - 1) * strides[2] + 1, 1),
             (1, strides[0], strides[1], strides[2], 1))
         cols.append(v.reshape(-1))
-    xc = jnp.stack(cols, axis=-1)                    # [vox, k^3]
     dyf = dy.reshape(-1, co)                          # [vox, co]
-    dw = lax.dot_general(
-        xc, dyf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [k^3, co]
+    if _CI1_TAPS_MAJOR:
+        # Taps-major layout: [k^3, vox] puts vox in the 128-lane minor dim
+        # (k^3=27 in lanes pads 27 -> 128, ~4.7x physical bytes on every
+        # write — the round-5 nonconv budget's concatenate.177, 20.45 ms at
+        # 53% practical peak). The dot contracts the LHS minor dim, the
+        # MXU-natural K placement. Chip A/B hook: BENCH_CI1_TAPS_MAJOR=1.
+        xc = jnp.stack(cols, axis=0)                  # [k^3, vox]
+        dw = lax.dot_general(
+            xc, dyf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [k^3, co]
+    else:
+        xc = jnp.stack(cols, axis=-1)                 # [vox, k^3]
+        dw = lax.dot_general(
+            xc, dyf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [k^3, co]
     return dw.reshape(*kernel_size, 1, co).astype(dy.dtype)
 
 
@@ -240,6 +261,8 @@ def conv3d_wgrad(x, dy, kernel_size: Int3, strides: Int3, pads):
 
 
 _CI1_DOT_ALL = True
+_CI1_TAPS_MAJOR = False
+_CI1_PALLAS = False
 _D_TAP_WGRAD = False
 
 
@@ -248,6 +271,24 @@ def set_ci1_dot_all(enabled: bool) -> None:
     im2col dot. Default on (measured win, see conv3d_wgrad docstring)."""
     global _CI1_DOT_ALL
     _CI1_DOT_ALL = bool(enabled)
+
+
+def set_ci1_pallas(enabled: bool) -> None:
+    """A/B hook: route the stride-1 SAME ci==1 wgrads through the Pallas
+    single-pass tap-reduce kernel (no patch-matrix materialization at all).
+    TPU-only (XLA route elsewhere); default off until chip-measured
+    (BENCH_CI1_PALLAS=1)."""
+    global _CI1_PALLAS
+    _CI1_PALLAS = bool(enabled)
+
+
+def set_ci1_taps_major(enabled: bool) -> None:
+    """A/B hook: build the ci==1 / co==1 im2col patch matrices taps-major
+    ([k^3, vox], vox in lanes) instead of taps-minor ([vox, k^3], k^3 in
+    lanes with 27->128 tile padding). Same math, different physical bytes;
+    default off until chip-measured (BENCH_CI1_TAPS_MAJOR=1)."""
+    global _CI1_TAPS_MAJOR
+    _CI1_TAPS_MAJOR = bool(enabled)
 
 
 def set_d_tap_wgrad(enabled: bool) -> None:
@@ -369,11 +410,18 @@ def _wgradT_co1(x, g, kernel_size: Int3, strides: Int3, pads):
              starts[2] + (ins[2] - 1) * strides[2] + 1, 1),
             (1, strides[0], strides[1], strides[2], 1))
         cols.append(v.reshape(-1))
-    gc = jnp.stack(cols, axis=-1)                     # [vox, k^3]
     xf = x.reshape(-1, ci)                            # [vox, ci]
-    dkt = lax.dot_general(
-        gc, xf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [k^3, ci]
+    if _CI1_TAPS_MAJOR:
+        # see _wgrad_im2col_ci1: vox-in-lanes stack + MXU-natural K minor
+        gc = jnp.stack(cols, axis=0)                  # [k^3, vox]
+        dkt = lax.dot_general(
+            gc, xf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [k^3, ci]
+    else:
+        gc = jnp.stack(cols, axis=-1)                 # [vox, k^3]
+        dkt = lax.dot_general(
+            gc, xf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [k^3, ci]
     return dkt.reshape(*kernel_size, ci, 1).astype(g.dtype)
 
 

@@ -154,6 +154,47 @@ def test_conv3d_layer_grads_unchanged_by_barrier():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_ci1_taps_major_stack_matches_taps_minor():
+    """The taps-major ([k^3, vox]) im2col layout (chip A/B hook
+    set_ci1_taps_major) computes the same dw/dkt as the default taps-minor
+    layout — same slices, same f32-accumulated dot, only the stack axis and
+    contraction dims change. Not bit-identical: the two dot layouts tile the
+    vox-sized K contraction differently, so f32 summation order differs
+    (~1e-6 relative); a wrong stack would permute taps and be orders of
+    magnitude off."""
+    rs = np.random.RandomState(7)
+    # _wgrad_im2col_ci1: ci==1, both co==1 and co>1, stride 1 and 2
+    for co, s in ((1, 1), (16, 2)):
+        x = jnp.asarray(rs.randn(2, 10, 10, 10, 1), jnp.float32)
+        o = [(10 + 2 - 3) // s + 1 for _ in range(3)]
+        dy = jnp.asarray(rs.randn(2, *o, co), jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        ref = fastconv._wgrad_im2col_ci1(xp, dy, (3, 3, 3), (s, s, s))
+        fastconv.set_ci1_taps_major(True)
+        try:
+            got = fastconv._wgrad_im2col_ci1(xp, dy, (3, 3, 3), (s, s, s))
+        finally:
+            fastconv.set_ci1_taps_major(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    # _wgradT_co1: the transposed-conv sibling
+    x = jnp.asarray(rs.randn(2, 6, 7, 6, 8), jnp.float32)
+    kt = jnp.asarray(rs.randn(3, 3, 3, 8, 1) * 0.2, jnp.float32)
+    pads = ((1, 2), (1, 2), (1, 2))
+    y = lax.conv_general_dilated(
+        x, kt, window_strides=(1, 1, 1), padding=pads,
+        lhs_dilation=(2, 2, 2), dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    cot = jnp.asarray(rs.randn(*y.shape), jnp.float32)
+    ref = fastconv._wgradT_co1(x, cot, (3, 3, 3), (2, 2, 2), pads)
+    fastconv.set_ci1_taps_major(True)
+    try:
+        got = fastconv._wgradT_co1(x, cot, (3, 3, 3), (2, 2, 2), pads)
+    finally:
+        fastconv.set_ci1_taps_major(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv_transpose3d_co1_route_matches_autodiff():
     """The 1-output-channel ConvTranspose wgrad route (_wgradT_co1) — every
     CasNet block's top up conv (MONAI UNet out_channels=1). The routed
