@@ -50,8 +50,11 @@ if want bench; then
 fi
 
 if want profile; then
-    CMD='python tpu_tests/profile_step.py gan && python tpu_tests/nonconv_budget.py'
-    run_stage profile 1800
+    # fresh post-routing strict-step profile + its physical-byte budget
+    # (nonconv_budget.py joins /tmp/minipig_profile_step with the HLO dump
+    # attribute_ops.py writes to /tmp/step_hlo.txt)
+    CMD='python tpu_tests/profile_step.py step && python tpu_tests/attribute_ops.py && python tpu_tests/nonconv_budget.py'
+    run_stage profile 2400
 fi
 
 if want quality; then
