@@ -27,6 +27,11 @@ def main(argv=None) -> None:
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--no-save", action="store_true",
                         help="metrics only, skip NIfTI outputs")
+    parser.add_argument("--bn-recalibrate", type=int, default=0,
+                        metavar="K",
+                        help="refresh generator BN running stats on K "
+                        "train-split batches before evaluating (K~50 "
+                        "converges; reference-plus serving option)")
     args = parser.parse_args(argv)
 
     setup_jax_cache()
@@ -54,6 +59,7 @@ def main(argv=None) -> None:
         limit=args.limit,
         save_volumes=not args.no_save,
         split=args.split,
+        bn_recalib_batches=args.bn_recalibrate,
     )
 
 

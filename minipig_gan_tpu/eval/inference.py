@@ -81,6 +81,7 @@ def run_inference(
     limit: Optional[int] = None,
     save_volumes: bool = True,
     split: str = "test",
+    bn_recalib_batches: int = 0,
 ) -> Dict:
     """Run the full test-set inference + metric report. Returns the report
     dict (also written to {out_dir}/evaluation.json + the two
@@ -98,6 +99,31 @@ def run_inference(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     pre = PairPreprocessor(cfg.data)
+    if bn_recalib_batches:
+        # serving-time BN recalibration (GANTrainer.recalibrate_bn_stats):
+        # replay train-split inputs at the TRAINING batch size to refresh
+        # the generator's running stats before folding them into the convs.
+        train_pairs = structure_to_pairs(
+            load_structure(structure_json).get("train", {}))
+        if not train_pairs:
+            raise ValueError(
+                "bn_recalib_batches needs a train split in the structure")
+        bs = max(1, int(cfg.train.batch_size))
+
+        def _batches():
+            idx = 0
+            for _ in range(int(bn_recalib_batches)):
+                items = []
+                for _ in range(bs):
+                    items.append(pre(train_pairs[idx % len(train_pairs)])
+                                 ["t1w"])
+                    idx += 1
+                yield np.stack(items)
+
+        t0 = time.time()
+        state = trainer.recalibrate_bn_stats(state, _batches())
+        print(f"# BN recalibration: {bn_recalib_batches} train batches "
+              f"(bs={bs}) in {time.time() - t0:.1f}s")
     # BN-folded eval generator (models/fold.py): one fewer full-res
     # elementwise pass per conv; falls back to the stats-threading forward
     # for architectures the folder doesn't know.

@@ -190,6 +190,29 @@ class GANTrainer:
             {"params": state.g_params, "batch_stats": state.g_stats}, t1, train=False
         )
 
+    def recalibrate_bn_stats(self, state: GANTrainState,
+                             t1_batches) -> GANTrainState:
+        """Refresh the generator's BatchNorm RUNNING stats by replaying
+        train-mode forwards over `t1_batches` (an iterable of (B, D, H, W, 1)
+        arrays — use TRAIN-split inputs at the training batch size).
+
+        Serving-time recalibration: the stats the eval forward uses are an
+        EMA frozen wherever training stopped; on short runs / small volumes
+        they can sit 20-30% away from the population statistics (the
+        round-3 cpu16 scale-floor diagnosis, results/README.md). Each replay
+        EMAs toward the observed batch stats with the module's own momentum
+        m (torch parity 0.9), so K batches leave a m^K residual of the stale
+        value — K≈25 cuts it to 7%, K≈50 to 0.5%. Reference-plus option
+        (the reference evaluates with whatever stats the checkpoint holds);
+        parameters and optimizer state are untouched.
+        """
+        replay = jax.jit(lambda stats, x: self._g_apply(
+            state.g_params, stats, x)[1]["batch_stats"])
+        stats = state.g_stats
+        for t1 in t1_batches:
+            stats = replay(stats, jnp.asarray(t1))
+        return state.replace(g_stats=stats)
+
     def make_fast_generator(self, state: GANTrainState):
         """Jitted eval forward with BatchNorm folded into the conv weights
         (models/fold.py) — removes one full-resolution elementwise pass per
