@@ -41,9 +41,11 @@ from .gan import GANTrainer, GANTrainState
 
 
 def build_datasets(cfg: Config, log_dir: Path, lazy_train: bool = False):
-    """structure.json -> cached train/val/test datasets. With no
-    structure_json configured, generates a synthetic BIDS fixture
-    (data/synthetic.py) so the end-to-end loop runs anywhere.
+    """structure.json -> cached train/val/test datasets + the RESOLVED
+    structure.json path. With no structure_json configured, generates a
+    synthetic BIDS fixture (data/synthetic.py) so the end-to-end loop runs
+    anywhere; the caller persists the resolved path into the checkpoint
+    config so `cli.infer --ckpt` works on synthetic runs without --data.
 
     `lazy_train=True` (multi-host): skip the eager train-cache build and
     memoize on access, so each process only ever preprocesses the items its
@@ -69,7 +71,7 @@ def build_datasets(cfg: Config, log_dir: Path, lazy_train: bool = False):
                            max(2, cfg.data.num_workers // 4))
     test_ds = CachedDataset(pairs["test"], pre, min(10, cfg.data.cache_num),
                             max(2, cfg.data.num_workers // 4))
-    return train_ds, val_ds, test_ds
+    return train_ds, val_ds, test_ds, str(structure_json)
 
 
 def train(cfg: Config, resume: bool = True,
@@ -118,8 +120,15 @@ def train(cfg: Config, resume: bool = True,
     if n_proc > 1:
         lo = jax.process_index() * local_bs
         local_sel = (lo, lo + local_bs)
-    train_ds, val_ds, test_ds = build_datasets(cfg, log_dir,
-                                               lazy_train=n_proc > 1)
+    train_ds, val_ds, test_ds, resolved_structure = build_datasets(
+        cfg, log_dir, lazy_train=n_proc > 1)
+    if resolved_structure != cfg.data.structure_json:
+        # persist the generated fixture's path into the config the
+        # checkpoints carry (self-describing synthetic runs)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, data=_dc.replace(cfg.data, structure_json=resolved_structure))
     if len(train_ds) < cfg.train.batch_size:
         raise ValueError(
             f"train split has {len(train_ds)} pairs but batch_size is "
