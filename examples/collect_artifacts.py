@@ -31,6 +31,11 @@ def main() -> None:
     p.add_argument("--ckpt", default="best_recon",
                    help="best_recon | last | explicit checkpoint path")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--bn-recalibrate", type=int, default=0, metavar="K",
+                   help="ALSO evaluate with generator BN stats refreshed on "
+                   "K train batches (cli.infer --bn-recalibrate); writes the "
+                   "paired A/B to bn_recalibration_ab.json next to the "
+                   "parity artifacts (which stay as-is)")
     args = p.parse_args()
 
     import jax
@@ -106,6 +111,31 @@ def main() -> None:
         summary[k] = agg.get(k)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
+
+    if args.bn_recalibrate:
+        # second pass with refreshed BN stats (reference-plus serving
+        # option); parity artifacts above are untouched
+        import importlib.util
+
+        run_inference(
+            str(ckpt),
+            structure_json=str(run_dir / "synthetic_data" / "structure.json"),
+            out_dir=str(out / "inference_recal"),
+            save_volumes=False,
+            limit=args.limit,
+            bn_recalib_batches=args.bn_recalibrate,
+        )
+        spec = importlib.util.spec_from_file_location(
+            "compare_runs", Path(__file__).parent / "compare_runs.py")
+        cr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cr)
+        ab = cr.compare(
+            json.loads((out / "inference_recal" / "evaluation.json")
+                       .read_text()),
+            json.loads((out / "inference" / "evaluation.json").read_text()),
+            "recalibrated", "asis")
+        (out / "bn_recalibration_ab.json").write_text(json.dumps(ab, indent=1))
+        print(cr.render(ab))
 
 
 if __name__ == "__main__":

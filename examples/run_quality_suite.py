@@ -140,7 +140,8 @@ def main() -> None:
 
         out = Path(args.results_dir) / f"{name}_r3"
         collect = [sys.executable, str(REPO / "examples/collect_artifacts.py"),
-                   "--run", str(log_dir), "--out", str(out)]
+                   "--run", str(log_dir), "--out", str(out),
+                   "--bn-recalibrate", "50"]
         print(f"=== collect {name} -> {out}", flush=True)
         subprocess.run(collect, check=True, cwd=str(REPO))
 
