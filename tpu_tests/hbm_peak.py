@@ -29,27 +29,46 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def timed(fn, x, n_inner=30, reps=5):
-    """Differential timing: run fn chained n_inner times inside one jit."""
+    """Differential timing: run fn chained n_inner times inside one jit.
+
+    Two on-chip gotchas this has to defend against (both observed on the
+    axon relay, round 6 — each alone makes the differential collapse to
+    noise and the GB/s print garbage):
+
+    1. XLA algebraically folds chained bodies (30 x `v+1` -> `v+30`), so
+       every iteration is wrapped in `lax.optimization_barrier` (which also
+       blocks DCE/slice-narrowing through the chain — required because of
+       point 2).
+    2. `block_until_ready()` does NOT synchronize through the relay, and
+       identical (executable, args) executions are served from a cache, so
+       timing the full-array result measures dispatch latency only. The
+       jitted program therefore returns a SCALAR derived from the final
+       carry and the timer syncs via host fetch (`float(...)`), the one
+       operation that provably waits for device completion here. bench.py's
+       step timers sync the same way (they fetch the loss).
+    """
+
+    def body(i, v):
+        return jax.lax.optimization_barrier(fn(v))
 
     @jax.jit
     def loop(x):
-        def body(i, v):
-            return fn(v)
-
-        return jax.lax.fori_loop(0, n_inner, body, x)
+        out = jax.lax.fori_loop(0, n_inner, body, x)
+        return jnp.sum(out[:1, :1], dtype=jnp.float32)
 
     @jax.jit
     def loop1(x):
-        return jax.lax.fori_loop(0, 1, lambda i, v: fn(v), x)
+        out = jax.lax.fori_loop(0, 1, body, x)
+        return jnp.sum(out[:1, :1], dtype=jnp.float32)
 
-    loop(x).block_until_ready()
-    loop1(x).block_until_ready()
+    float(loop(x))
+    float(loop1(x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
+        float(loop(x))
         t1 = time.perf_counter()
-        loop1(x).block_until_ready()
+        float(loop1(x))
         t2 = time.perf_counter()
         dt = ((t1 - t0) - (t2 - t1)) / (n_inner - 1)
         best = min(best, dt)
