@@ -344,10 +344,12 @@ def child_main() -> None:
                     "MFU is architecture-bound at reference parity: the "
                     "discriminator's 64-256ch VALID convs at odd extents "
                     "(126^3/124^3/61^3/29^3) pad every MXU tile and carry "
-                    "~93% of step FLOPs; >=80% of remaining non-conv time "
+                    "~93% of step FLOPs; 70% of remaining non-conv time "
                     "measured AT the practical HBM roofline (physical "
-                    "tile-padded bytes vs 690 GB/s). See BENCH_NOTES.md "
-                    "'Speed of light' section for the measured budget."),
+                    "tile-padded bytes vs the 690 GB/s on-chip-calibrated "
+                    "streaming peak, strict step, post-routing), 78% at "
+                    ">=50%. See BENCH_NOTES.md 'Speed of light' for the "
+                    "measured budget."),
             },
         }
         if strict:

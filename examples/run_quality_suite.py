@@ -37,6 +37,10 @@ COMMON = [
     "--synthetic",
     "--set", "data.synthetic_num_pairs=80",
     "--set", "train.g_lr=2e-3",
+    # batch-4-no-accum needs 18.3G HBM vs the chip's 15.75G (measured:
+    # the first quality-stage attempt OOM'd at compile). accum=2 is the
+    # canonical strict config bench.py runs on this chip.
+    "--set", "train.accum_steps=2",
     "--set", "train.monitor_every=50",
     "--set", "train.checkpoint_every=250",
     "--set", "train.seed=0",

@@ -18,6 +18,17 @@ vs the im2col route's >= 3 full-volume passes.
 Constraints (fall back to the XLA route otherwise): strides (1,1,1), SAME
 geometry (out spatial == in spatial before padding), single-channel `a`
 operand. The dy/co operand may carry C channels (C small: <= 32).
+
+STATUS — RETIRED, measured round 6: the kernel passes CPU interpret-mode
+parity (tests/test_tap_reduce_kernel.py) but Mosaic REJECTS it on real
+TPU hardware: "Not implemented: Unsupported reshape" on
+vector<8x128x128xf32> -> vector<8x128x128x1xf32> (the trailing unit-dim
+expand in the accumulator update; tpu_tests/chip_queue_logs/
+taps_major.log). The taps-major im2col variant it was racing measured
+NEUTRAL (232.23 vs 232.16 strict slices/s), and the concatenate it
+targets is 20.2 ms/step at 45% practical peak — residual value ~0.5% of
+step time. Kept as an experiment record; `fastconv.set_ci1_pallas` is an
+experiment hook only.
 """
 
 from __future__ import annotations
