@@ -392,10 +392,16 @@ def parent_main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1080"))
     env = dict(os.environ, BENCH_CHILD="1")
     t0 = time.time()
+    # Binary, UNBUFFERED pipe + manual line splitting: select() fires on the
+    # underlying fd, so a buffered readline() could strand a second line
+    # (e.g. the strict line and the strict+fast line arriving in one pipe
+    # chunk) inside the TextIOWrapper where select never sees it again —
+    # and the timeout path would then kill the child without draining it,
+    # losing a completed measurement. os.read gives us exactly what the
+    # pipe holds.
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
-        env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
-        text=True, bufsize=1)
+        env=env, stdout=subprocess.PIPE, stderr=sys.stderr, bufsize=0)
 
     last_parsed = None
     timed_out = False
@@ -403,7 +409,45 @@ def parent_main() -> None:
 
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    buf = ""
+    buf = b""
+
+    def consume(data: bytes) -> None:
+        """Split complete lines out of the carry buffer; parse/pass through."""
+        nonlocal buf, last_parsed
+        buf += data
+        while b"\n" in buf:
+            raw, buf = buf.split(b"\n", 1)
+            line = raw.decode("utf-8", "replace").strip()
+            if not line:
+                continue
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                parsed = None
+            if isinstance(parsed, dict) and "metric" in parsed:
+                last_parsed = parsed
+                print(line, flush=True)  # pass through, last line wins
+            else:
+                print(f"# child: {line}", file=sys.stderr, flush=True)
+
+    def drain() -> None:
+        """Pull whatever the pipe still holds (bounded, non-blocking-ish)."""
+        try:
+            os.set_blocking(proc.stdout.fileno(), False)
+        except OSError:
+            return
+        for _ in range(1024):
+            try:
+                data = os.read(proc.stdout.fileno(), 65536)
+            except (BlockingIOError, OSError):
+                break
+            if not data:
+                break
+            consume(data)
+        # a final partial line without trailing newline still counts
+        if buf.strip():
+            consume(b"\n")
+
     while True:
         left = budget_s - (time.time() - t0)
         if left <= 0:
@@ -413,30 +457,23 @@ def parent_main() -> None:
             if proc.poll() is not None:
                 break
             continue
-        chunk = proc.stdout.readline()
-        if chunk == "":
+        try:
+            data = os.read(proc.stdout.fileno(), 65536)
+        except OSError:
+            data = b""
+        if data == b"":
             if proc.poll() is not None:
                 break
             continue
-        line = (buf + chunk).strip()
-        buf = ""
-        if not line:
-            continue
-        try:
-            parsed = json.loads(line)
-            if isinstance(parsed, dict) and "metric" in parsed:
-                last_parsed = parsed
-                print(line, flush=True)  # pass through, last line wins
-            else:
-                print(f"# child: {line}", file=sys.stderr, flush=True)
-        except json.JSONDecodeError:
-            print(f"# child: {line}", file=sys.stderr, flush=True)
+        consume(data)
 
     if timed_out:
+        drain()  # a completed line may have landed just before the deadline
         try:
             proc.kill()  # direct kill of the known child pid
         except OSError:
             pass
+        drain()
         if last_parsed is not None:
             last_parsed["note"] = (
                 f"wall-clock budget ({budget_s:.0f}s) exhausted after this "
@@ -455,19 +492,7 @@ def parent_main() -> None:
         return
 
     rc = proc.wait()
-    # drain anything still buffered
-    tail = proc.stdout.read() or ""
-    for line in tail.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            parsed = json.loads(line)
-            if isinstance(parsed, dict) and "metric" in parsed:
-                last_parsed = parsed
-                print(line, flush=True)
-        except json.JSONDecodeError:
-            print(f"# child: {line}", file=sys.stderr, flush=True)
+    drain()  # anything still in the pipe, including a final partial line
     if last_parsed is None:
         print(json.dumps({
             "metric": "train_slices_per_sec_per_chip",
