@@ -48,17 +48,23 @@ COMMON = [
 ]
 
 RUNS = {
+    # step budgets sized from measured on-chip step cost (canonical 2.58
+    # s/step, patch 1.69, noperc 1.56 — runs/q3_* metrics.jsonl): the three
+    # runs fit ~4h of chip. Each run cosine-decays its LRs over its budget
+    # (train.lr_decay_steps) — the fixed-LR chip-queue runs plateaued with
+    # the L1 bouncing at its floor from step ~500 on.
     "canonical": dict(
-        steps=1250,
-        args=["--mode", "gan"],
+        steps=2500,
+        args=["--mode", "gan", "--set", "train.lr_decay_steps=2500"],
     ),
     "patch": dict(
-        steps=1100,
-        args=["--mode", "patch"],
+        steps=2200,
+        args=["--mode", "patch", "--set", "train.lr_decay_steps=2200"],
     ),
     "patch_noperc": dict(
-        steps=1100,
-        args=["--mode", "patch", "--set", "discriminator.use_perceptual=false"],
+        steps=2200,
+        args=["--mode", "patch", "--set", "discriminator.use_perceptual=false",
+              "--set", "train.lr_decay_steps=2200"],
     ),
 }
 

@@ -79,6 +79,10 @@ class TrainConfig:
     # with batch_size/accum_steps while the optimizer sees the full batch
     accum_steps: int = 1
     max_steps: int = 1_000_000
+    # cosine-decay the Adam LRs to lr_decay_alpha*lr over this many steps;
+    # 0 keeps the reference's fixed-LR semantics (GAN_final.py:214-231)
+    lr_decay_steps: int = 0
+    lr_decay_alpha: float = 0.05
     seed: int = 0
     # 'gan' = full pix2pix loop; 'generator_only' = L1 regression slice
     # (BASELINE.json config 1); 'patch' = patch+perceptual loop (config 3).

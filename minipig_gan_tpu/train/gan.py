@@ -98,8 +98,22 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None):
 
 
 def build_optimizers(cfg: Config):
-    g_tx = optax.adam(cfg.train.g_lr, b1=cfg.train.b1, b2=cfg.train.b2, eps=1e-8)
-    d_tx = optax.adam(cfg.train.d_lr, b1=cfg.train.b1, b2=cfg.train.b2, eps=1e-8)
+    def lr(base: float):
+        # train.lr_decay_steps > 0: cosine-decay the base LR to
+        # lr_decay_alpha*base over that many optimizer updates. The
+        # reference trains at a fixed Adam LR (GAN_final.py:214-231), so
+        # the default (0 = constant) is reference-parity; the schedule is
+        # the standard tool for squeezing the last of the L1 floor out of
+        # a bouncing fixed-LR run (used by the committed quality suite).
+        if cfg.train.lr_decay_steps > 0:
+            return optax.cosine_decay_schedule(
+                base, cfg.train.lr_decay_steps, alpha=cfg.train.lr_decay_alpha)
+        return base
+
+    g_tx = optax.adam(lr(cfg.train.g_lr), b1=cfg.train.b1, b2=cfg.train.b2,
+                      eps=1e-8)
+    d_tx = optax.adam(lr(cfg.train.d_lr), b1=cfg.train.b1, b2=cfg.train.b2,
+                      eps=1e-8)
     return g_tx, d_tx
 
 

@@ -1,9 +1,18 @@
-"""Regression guard for the round-3 fixture's MI ordering (results/README.md
-"Mutual information" section): a denoising generator stand-in must beat the
-T1-identity baseline on estimated MI at the committed bins=64 convention —
-the property the round-2 fixture (shared texture realization, ~1% noise)
-violated, inverting the reference's real-data anchors
-(/root/reference/code/eval/*.xml: gen 0.292 > identity 0.196)."""
+"""Regression guard for the synthetic fixture's oracle orderings
+(results/README.md "Mutual information" section; calibration tool:
+tpu_tests/oracle_floor.py).
+
+The fixture must keep the reference's real-data orderings ACHIEVABLE under
+the reference's own eval chain (independent [0,255] min/max rescale + round,
+inferrence.py:150-162): a perfect clean-T2 generator — the T2 volume
+regenerated from the same seed with receiver noise zeroed — must beat the
+T1-identity baseline on estimated MI (reference anchors: gen 0.292 >
+identity 0.196, /root/reference/code/eval/*.xml) and decisively on MAE
+(reference: 4.365 vs 11.851, ratio 37%). Two historical fixtures violated
+this: the round-2 fixture's identical texture realization made identity MI
+unrealistically strong, and the first round-3 fixture's noise=0.12 made the
+MAE/MSE/PSNR oracles structurally UN-winnable (perfect generator MAE 29.1 vs
+identity 12.3 — the eval rewarded noise-matching)."""
 
 import numpy as np
 
@@ -18,39 +27,19 @@ def _norm(v):
     return np.asarray(scale_intensity_range_percentiles(v, 1.0, 99.0, -1.0, 1.0))
 
 
-def _lut(src, tgt, bins=32):
-    qs = np.quantile(src, np.linspace(0, 1, bins + 1)[1:-1])
-    cls = np.digitize(src, qs)
-    out = np.zeros_like(tgt)
-    for c in range(bins):
-        m = cls == c
-        if m.any():
-            out[m] = float(tgt[m].mean())
-    return out
-
-
-def _box(v, r=2):
-    out = v.astype(np.float64)
-    k = 2 * r + 1
-    for ax in range(3):
-        c = np.cumsum(np.pad(out, [(r + 1, r) if a == ax else (0, 0)
-                                   for a in range(3)], mode="edge"), axis=ax)
-        out = (np.take(c, range(k, c.shape[ax]), axis=ax)
-               - np.take(c, range(c.shape[ax] - k), axis=ax)) / k
-    return out.astype(np.float32)
-
-
-def test_denoising_generator_beats_identity_mi():
-    margins = []
+def test_perfect_generator_beats_identity_on_mi_and_mae():
+    mi_margins, mae_ratios = [], []
     for seed in range(3):
         t1, t2, _ = synthetic_pair(shape_zyx=(48, 48, 48), seed=seed)
-        t1n, t2n = _norm(t1), _norm(t2)
-        gen = _lut(_box(t1n), t2n)  # receptive-field denoise + tissue LUT
-        g8 = rescale_to_uint8_range(gen)
-        t8 = rescale_to_uint8_range(t2n)
-        i8 = rescale_to_uint8_range(t1n)
-        mi_gen = float(mutual_information(g8, t8, bins=64))
-        mi_ident = float(mutual_information(i8, t8, bins=64))
-        margins.append(mi_gen - mi_ident)
-    # mean margin positive with room to spare (measured +0.057±0.004 at 64^3)
-    assert np.mean(margins) > 0.02, margins
+        # clean twin: same RandomState draw order, receiver noise zeroed
+        _, t2_clean, _ = synthetic_pair(shape_zyx=(48, 48, 48), seed=seed,
+                                        noise=0.0)
+        g8 = np.asarray(rescale_to_uint8_range(_norm(t2_clean)))
+        t8 = np.asarray(rescale_to_uint8_range(_norm(t2)))
+        i8 = np.asarray(rescale_to_uint8_range(_norm(t1)))
+        mi_margins.append(float(mutual_information(g8, t8, bins=64))
+                          - float(mutual_information(i8, t8, bins=64)))
+        mae_ratios.append(np.abs(g8 - t8).mean() / np.abs(i8 - t8).mean())
+    # measured at the committed defaults: MI margin ~+0.05, MAE ratio ~0.5
+    assert np.mean(mi_margins) > 0.02, mi_margins
+    assert np.mean(mae_ratios) < 0.7, mae_ratios

@@ -237,3 +237,23 @@ def test_monai_discriminator_kind_step():
     # second step advances the rng -> different dropout draw
     s2, m2 = step(s1, batch)
     assert float(m2["d_loss"]) != float(m1["d_loss"])
+
+
+def test_lr_decay_schedule_reaches_alpha_floor():
+    """train.lr_decay_steps: cosine decay to alpha*lr. With alpha=0 the LR
+    hits exactly 0 after decay_steps optimizer updates, so a further step
+    must leave the generator params unchanged — a sharp end-to-end check
+    that the schedule is actually wired into the Adam transforms."""
+    cfg = tiny_cfg("generator_only", lr_decay_steps=2, lr_decay_alpha=0.0)
+    tr = GANTrainer(cfg)
+    batch = make_batch()
+    state = tr.init(jax.random.PRNGKey(0), batch)
+    step = jax.jit(tr.train_step)
+    state, _ = step(state, batch)   # update 1 (lr > 0)
+    state, _ = step(state, batch)   # update 2 (lr > 0)
+    before = jax.tree.map(np.asarray, state.g_params)
+    state, _ = step(state, batch)   # update 3: lr == 0
+    after = jax.tree.map(np.asarray, state.g_params)
+    leaves_b = jax.tree.leaves(before)
+    leaves_a = jax.tree.leaves(after)
+    assert all(np.array_equal(b, a) for b, a in zip(leaves_b, leaves_a))
