@@ -16,12 +16,26 @@ flow — which is exactly why the round-2 fixture (T1/T2 sharing the identical
 texture realization, ~1% noise) INVERTED it: its T1 was nearly noiseless, so
 identity MI stayed near the oracle's.
 
-This script validates the round-3 fixture (data/synthetic.py: shared +
-independent texture components, realistic receiver noise) reproduces the
-real-data ordering, using a per-compartment denoising LUT as a conservative
-stand-in for a trained generator (a conv net with spatial context can only
-do better), and sweeps the estimator's bins/range to show the ordering is
-stable across conventions (the external tool's binning is undocumented).
+This script validates the fixture reproduces the real-data ordering and
+sweeps the estimator's bins to show stability across conventions (the
+external tool's binning is undocumented). It scores three generator
+stand-ins against the identity baseline:
+
+  * voxelwise LUT (no spatial context) — a cheap trick;
+  * denoising LUT (receptive-field-averaged input) — a noise-era stand-in;
+  * CLEAN ORACLE — the T2 volume regenerated with receiver noise zeroed,
+    i.e. a perfect generator; the ceiling a trained conv net approaches
+    (the noise=0.12 chip runs tracked it to ~98%, results/README.md).
+
+On the FIRST round-3 fixture (noise=0.12) the denoising LUT alone carried
+the ordering (+0.057 at bins=64): heavy t1 noise spread identity across
+bins and simple denoising won. On the RECALIBRATED fixture (noise=0.015,
+opposed-sign shared texture, T1-ambiguous skull/CSF — see the oracle-floor
+section of results/README.md) both LUTs correctly LOSE to identity and only
+the clean oracle wins: the MI margin now requires actual translation
+quality (context to resolve the T1-ambiguous compartments, texture-sign
+inversion, denoising), which is a stronger fixture property — a cheap
+stand-in can no longer fake the reference's ordering.
 
 CPU-runnable:  python tpu_tests/mi_fixture_analysis.py [--resample] [--n 6]
 """
@@ -126,13 +140,19 @@ def main() -> None:
         #    a conservative stand-in for a trained conv generator.
         gen_vox = lut_gen(t1n, t2n)
         gen_den = lut_gen(box_denoise(t1n), t2n)
-        v8, d8, t8, i8 = u8(gen_vox), u8(gen_den), u8(t2n), u8(t1n)
+        # clean oracle: same RandomState draw order, receiver noise zeroed
+        _, t2_clean, _ = synthetic_pair(shape_zyx=shape, seed=seed,
+                                        **dict(fixture_kw, noise=0.0))
+        oracle = preprocess(t2_clean, meta)
+        v8, d8, o8 = u8(gen_vox), u8(gen_den), u8(oracle)
+        t8, i8 = u8(t2n), u8(t1n)
         per_bins = {}
         for bins in bins_sweep:
             per_bins[bins] = (
                 float(mutual_information(i8, t8, bins=bins)),
                 float(mutual_information(v8, t8, bins=bins)),
                 float(mutual_information(d8, t8, bins=bins)),
+                float(mutual_information(o8, t8, bins=bins)),
                 float(mutual_information(t8, t8, bins=bins)),
             )
         rows.append(per_bins)
@@ -140,17 +160,23 @@ def main() -> None:
     print(f"fixture={'round-2 (old)' if args.old_fixture else 'round-3'} "
           f"resample={args.resample} n={args.n} shape={shape}")
     print(f"{'bins':>5} {'MI identity':>12} {'MI voxel-LUT':>13} "
-          f"{'MI denoise-gen':>15} {'MI self':>9}  ordering")
+          f"{'MI denoise-gen':>15} {'MI oracle':>11} {'MI self':>9}  ordering")
     for bins in bins_sweep:
         ident = np.array([r[bins][0] for r in rows])
         vox = np.array([r[bins][1] for r in rows])
         den = np.array([r[bins][2] for r in rows])
-        self_ = np.array([r[bins][3] for r in rows])
-        ok = "denoise-gen > identity  (matches reference anchors)" \
-            if den.mean() > ident.mean() else "INVERTED"
+        orc = np.array([r[bins][3] for r in rows])
+        self_ = np.array([r[bins][4] for r in rows])
+        if orc.mean() > ident.mean():
+            ok = "oracle > identity  (ordering achievable"
+            ok += "; denoise-LUT carries it too)" if den.mean() > ident.mean() \
+                else "; needs real translation quality)"
+        else:
+            ok = "INVERTED (un-winnable fixture)"
         print(f"{bins:>5} {ident.mean():>7.3f}±{ident.std():.3f} "
               f"{vox.mean():>8.3f}±{vox.std():.3f} "
               f"{den.mean():>9.3f}±{den.std():.3f} "
+              f"{orc.mean():>7.3f}±{orc.std():.3f} "
               f"{self_.mean():>8.3f}  {ok}")
 
 
