@@ -83,7 +83,8 @@ def train(cfg: Config, resume: bool = True,
     # maybe_initialize_distributed documents the bring-up)
     is_main = jax.process_index() == 0
     n_proc = jax.process_count()
-    logger = MetricLogger(log_dir, echo_every=cfg.train.log_every) \
+    logger = MetricLogger(log_dir, echo_every=cfg.train.log_every,
+                          resume=resume) \
         if is_main else None
     mesh_cfg = cfg.mesh
     if mesh_cfg.data <= 0:

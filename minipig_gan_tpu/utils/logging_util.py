@@ -17,10 +17,15 @@ from .tb_writer import TBWriter
 
 
 class MetricLogger:
-    def __init__(self, log_dir, tb: bool = True, echo_every: int = 10):
+    def __init__(self, log_dir, tb: bool = True, echo_every: int = 10,
+                 resume: bool = True):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
-        self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
+        # resume=False truncates: a fresh (--no-resume) run must not append
+        # after a previous run's rows — overlapping step numbers corrupt
+        # loss-curve rendering and any per-step analysis of the file
+        self._jsonl = open(self.log_dir / "metrics.jsonl",
+                           "a" if resume else "w")
         self._tb: Optional[TBWriter] = TBWriter(self.log_dir) if tb else None
         self.echo_every = echo_every
         self._t_last = time.time()

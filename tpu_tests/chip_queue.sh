@@ -84,4 +84,14 @@ if want train256; then
     run_stage train256 1800
 fi
 
+if want train256_sweep; then
+    # round-3 follow-up: all three 256^3+remat programs crash the relay's
+    # remote-compile helper (HTTP 500 / exit 1). Sweep intermediate sizes
+    # to find the infra ceiling and record the largest single-chip-
+    # trainable volume (all sizes divisible by 8 for the 3x stride-2
+    # cascade).
+    CMD='EXP_SPATIAL=160,192,224,256 python tpu_tests/train_256_experiment.py'
+    run_stage train256_sweep 5400
+fi
+
 echo "== chip queue pass complete"

@@ -47,12 +47,14 @@ def main() -> None:
     )
     from minipig_gan_tpu.train import GANTrainer
 
-    spatial = int(os.environ.get("EXP_SPATIAL", "256"))
+    # EXP_SPATIAL accepts a comma-separated sweep (round-3: all three 256^3
+    # +remat programs crash the relay's remote-compile helper subprocess
+    # with HTTP 500 / exit 1 while the same programs compile and run on the
+    # CPU mesh — the sweep locates the infrastructure ceiling and records
+    # the largest single-chip-trainable volume on the way)
+    spatials = [int(s) for s in
+                os.environ.get("EXP_SPATIAL", "256").split(",")]
     n_steps = int(os.environ.get("EXP_STEPS", "4"))
-    rs = np.random.RandomState(0)
-    vol = np.tanh(rs.randn(1, spatial, spatial, spatial, 1)).astype(np.float32)
-    batch = {"t1w": jnp.asarray(vol),
-             "t2w": jnp.asarray(np.clip(0.8 * vol + 0.1, -1, 1))}
 
     configs = [
         ("patch+remat", Config(
@@ -71,7 +73,14 @@ def main() -> None:
                               batch_size=1, accum_steps=1))),
     ]
 
-    for name, cfg in configs:
+    for spatial in spatials:
+      rs = np.random.RandomState(0)
+      vol = np.tanh(
+          rs.randn(1, spatial, spatial, spatial, 1)).astype(np.float32)
+      batch = {"t1w": jnp.asarray(vol),
+               "t2w": jnp.asarray(np.clip(0.8 * vol + 0.1, -1, 1))}
+      for name, cfg in configs:
+        name = f"{spatial}^3 {name}"
         try:
             tr = GANTrainer(cfg)
             state = tr.init_jit(jax.random.PRNGKey(0), batch)
