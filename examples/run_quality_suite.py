@@ -8,12 +8,17 @@ receiver noise, data/synthetic.py — with 80 subjects: 40 train / 20 val /
 
   1. canonical   — 6-block CasNet + global D (GAN_final.py config),
                    g_lr=2e-3 (fixture-tuned; the reference's 5e-4 was tuned
-                   for PREDICT-HD), 1250 steps;
+                   for PREDICT-HD), 2500 steps with cosine LR decay;
   2. patch       — config-3: patch discriminator + perceptual loss
-                   (test_runs/GAN.py), 1100 steps;
+                   (test_runs/GAN.py), 2200 steps;
   3. patch_noperc— the reference's own ablation twin (test_runs/GAN2.py:
                    use_perceptual=False), same budget — the perceptual
                    on/off QUALITY A/B the reference ran as GAN.py vs GAN2.py.
+
+Training runs CHUNKED: one OS process per --chunk-steps (default 1000) with
+orbax resume between chunks — the axon relay client memoizes executions on
+the host, growing ~45 MB/step of RSS at 128^3 (a single 2500-step process
+reaches the 125 GB box ceiling around step ~1700).
 
 Each run is evaluated at its best-g_recon checkpoint on the 20 test pairs
 via examples/collect_artifacts.py (per-case metrics, mean±std, reference-
@@ -33,6 +38,19 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+
+def _completed_steps(log_dir: Path) -> int:
+    """Steps durably checkpointed in log_dir (0 for a fresh run)."""
+    import json
+
+    f = log_dir / "checkpoints" / "last_step.json"
+    if not f.exists():
+        return 0
+    try:
+        return int(json.loads(f.read_text())["step"])
+    except Exception:
+        return 0
+
 COMMON = [
     "--synthetic",
     "--set", "data.synthetic_num_pairs=80",
@@ -44,7 +62,6 @@ COMMON = [
     "--set", "train.monitor_every=50",
     "--set", "train.checkpoint_every=250",
     "--set", "train.seed=0",
-    "--no-resume",
 ]
 
 RUNS = {
@@ -73,6 +90,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--only", default=None, choices=list(RUNS) + [None])
     p.add_argument("--steps-scale", type=float, default=1.0)
+    p.add_argument("--chunk-steps", type=int, default=1000,
+                   help="max steps per training process (host-memory bound: "
+                        "the relay client leaks ~45 MB/step at 128^3)")
     p.add_argument("--runs-dir", default=str(REPO / "runs"))
     p.add_argument("--results-dir", default=str(REPO / "results"))
     p.add_argument("--tiny", action="store_true",
@@ -102,11 +122,11 @@ def main() -> None:
             continue
         steps = max(2, int(spec["steps"] * args.steps_scale))
         log_dir = Path(args.runs_dir) / f"q3_{name}"
-        cmd = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
-               *COMMON, *spec["args"],
-               "--steps", str(steps), "--log-dir", str(log_dir)]
+        base = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
+                *COMMON, *spec["args"], "--log-dir", str(log_dir)]
+        extra = []
         if args.cpu16:
-            cmd += ["--set", "data.spatial_size=16,16,16",
+            extra += ["--set", "data.spatial_size=16,16,16",
                     "--set", "generator.n_unet_blocks=2",
                     "--set", "generator.channels=8,16",
                     "--set", "generator.strides=2",
@@ -119,7 +139,7 @@ def main() -> None:
                     "--set", "train.image_log_every_epochs=0",
                     "--set", "train.compute_dtype=float32"]
         if args.cpu32:
-            cmd += ["--set", "data.spatial_size=32,32,32",
+            extra += ["--set", "data.spatial_size=32,32,32",
                     "--set", "generator.n_unet_blocks=4",
                     "--set", "generator.channels=8,16,32",
                     "--set", "generator.strides=2,2",
@@ -131,7 +151,7 @@ def main() -> None:
                     "--set", "train.monitor_every=10",
                     "--set", "train.compute_dtype=float32"]
         if args.tiny:
-            cmd += ["--set", "data.spatial_size=16,16,16",
+            extra += ["--set", "data.spatial_size=16,16,16",
                     "--set", "data.synthetic_num_pairs=12",
                     "--set", "generator.n_unet_blocks=1",
                     "--set", "generator.channels=2,4",
@@ -144,9 +164,30 @@ def main() -> None:
                     "--set", "train.monitor_every=2",
                     "--set", "train.compute_dtype=float32"]
         for kv in args.extra_set:
-            cmd += ["--set", kv]
+            extra += ["--set", kv]
+        # Chunked training: the axon relay client memoizes executions on
+        # the HOST (observed: the canonical 128^3 trainer grows ~45 MB/step
+        # of RSS and reaches ~113 GB by step 1500 on a 125 GB box — a 2500-
+        # step single process OOMs). A fresh OS process per <=chunk steps
+        # flushes the host side while orbax resume (checkpoint_every=250)
+        # carries the full training state across chunks.
         print(f"=== {name}: {steps} steps -> {log_dir}", flush=True)
-        subprocess.run(cmd, check=True, cwd=str(REPO))
+        done = _completed_steps(log_dir)
+        first = done == 0
+        while done < steps:
+            target = min(steps, done + args.chunk_steps)
+            cmd = base + ["--steps", str(target)] + extra
+            if first:
+                cmd += ["--no-resume"]
+            print(f"===== chunk: steps {done} -> {target}"
+                  f"{' (fresh)' if first else ' (resume)'}", flush=True)
+            subprocess.run(cmd, check=True, cwd=str(REPO))
+            first = False
+            new_done = _completed_steps(log_dir)
+            if new_done <= done:
+                raise RuntimeError(
+                    f"chunk made no checkpoint progress ({done} -> {new_done})")
+            done = new_done
 
         out = Path(args.results_dir) / f"{name}_r3"
         collect = [sys.executable, str(REPO / "examples/collect_artifacts.py"),
