@@ -112,6 +112,13 @@ def main() -> None:
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 
+    # canonical markdown rendering of the same numbers, for verbatim
+    # embedding in results/README.md (guarded by
+    # tests/test_results_consistency.py — see summary_table_md docstring)
+    from minipig_gan_tpu.eval.report import summary_table_md
+
+    (out / "TABLE.md").write_text(summary_table_md(summary))
+
     if args.bn_recalibrate:
         # second pass with refreshed BN stats (reference-plus serving
         # option); parity artifacts above are untouched
