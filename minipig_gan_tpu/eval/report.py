@@ -66,14 +66,21 @@ def summary_table_md(summary: Dict) -> str:
     """
 
     def pm(key: str, fmt: str) -> str:
+        # Tolerate malformed / hand-edited summary.json: anything non-numeric
+        # renders as "—" instead of raising inside the f-string (ADVICE r3).
         v, s = summary.get(key), summary.get(f"{key}_std")
-        if v is None:
+        if not isinstance(v, (int, float)):
             return "—"
-        return f"{v:{fmt}}±{s:{fmt}}" if s is not None else f"{v:{fmt}}"
+        if isinstance(s, (int, float)):
+            return f"{v:{fmt}}±{s:{fmt}}"
+        return f"{v:{fmt}}"
 
+    ckpt = summary.get("checkpoint") or "?"
+    n = summary.get("n_test_cases")
+    n = n if isinstance(n, int) else "?"
     lines = [
-        f"Checkpoint `{summary.get('checkpoint')}`, "
-        f"n={summary.get('n_test_cases')} held-out test pairs (mean±std).",
+        f"Checkpoint `{ckpt}`, "
+        f"n={n} held-out test pairs (mean±std).",
         "",
         "| Metric | generated | identity baseline | ratio gen/identity |",
         "|---|---|---|---|",

@@ -3,7 +3,9 @@
 VERDICT round 2 (Weak #2) flagged a results/README.md claim that its own
 committed summary.json contradicted; later in round 3 a VM restart produced
 the inverse failure (README headline committed, backing artifacts lost
-uncommitted). This test closes the loop mechanically:
+uncommitted); the round-3 VERDICT (Weak #1) then flagged that the guard was
+opt-in, so the flagship claim could bypass it forever. This test closes the
+loop mechanically and universally:
 
   results/README.md embeds each headline table verbatim between
       <!-- TABLE <dir> -->
@@ -14,9 +16,10 @@ uncommitted). This test closes the loop mechanically:
 
       README block == TABLE.md == summary_table_md(summary.json)
 
-so a headline can only be committed together with the artifact it cites.
-Directories without markers (historical sections with hand-written tables)
-are not checked — only claims that opt into the mechanism.
+  for every guarded block, AND that every results/<dir> holding a
+  summary.json carries a guarded block — committing a collected artifact
+  without guarding (or guarding without the artifact) is a test failure,
+  so numeric claims and evidence can only land together.
 """
 
 from __future__ import annotations
@@ -45,10 +48,42 @@ def _blocks():
             _BLOCK.finditer(README.read_text())]
 
 
+def _artifact_dirs():
+    """Every results/<dir> that holds a collected summary.json."""
+    if not RESULTS.exists():
+        return []
+    return sorted(d.name for d in RESULTS.iterdir()
+                  if d.is_dir() and (d / "summary.json").exists())
+
+
 def test_readme_has_at_least_one_guarded_table():
     assert _blocks(), (
-        "results/README.md has no <!-- TABLE dir --> guarded headline; the "
-        "headline quality claim must embed its generated TABLE.md")
+        "results/README.md has no <!-- TABLE dir --> guarded block; every "
+        "results/<dir> quality claim must embed its generated TABLE.md")
+
+
+def test_every_artifact_dir_is_guarded_in_readme():
+    """The round-3 loophole: a collected artifact (or a README claim about
+    one) could exist without the byte-match guard. Now: every directory
+    under results/ that contains a summary.json MUST have a matching
+    guarded TABLE block in results/README.md."""
+    guarded = {d for d, _ in _blocks()}
+    missing = [d for d in _artifact_dirs() if d not in guarded]
+    assert not missing, (
+        f"results dirs with summary.json but no guarded README block: "
+        f"{missing}; paste each dir's TABLE.md into results/README.md "
+        f"between <!-- TABLE <dir> --> / <!-- /TABLE --> markers")
+
+
+def test_marker_dirs_stay_under_results():
+    """A marker like <!-- TABLE ../elsewhere --> must not validate a file
+    outside results/ (ADVICE r3)."""
+    for dirname, _ in _blocks():
+        resolved = (RESULTS / dirname).resolve()
+        assert RESULTS.resolve() in resolved.parents, (
+            f"README marker dir '{dirname}' escapes results/")
+        assert ".." not in Path(dirname).parts, (
+            f"README marker dir '{dirname}' contains a '..' segment")
 
 
 @pytest.mark.parametrize("dirname,body", _blocks() or [("missing", "")])
