@@ -82,6 +82,12 @@ class TrainConfig:
     # cosine-decay the Adam LRs to lr_decay_alpha*lr over this many steps;
     # 0 keeps the reference's fixed-LR semantics (GAN_final.py:214-231)
     lr_decay_steps: int = 0
+    # reference-plus: weight of the gradient-difference loss added to the
+    # generator objective (losses.py::gradient_difference_loss; 0 = off,
+    # keeping the reference's exact L1-only recon term). Counters L1's
+    # over-smoothing, which the binned-MI eval punishes (results/README.md,
+    # "Mutual information").
+    gdl_weight: float = 0.0
     lr_decay_alpha: float = 0.05
     seed: int = 0
     # 'gan' = full pix2pix loop; 'generator_only' = L1 regression slice

@@ -304,6 +304,7 @@ class GANTrainer:
 
         use_patches = self.mode == "patch"
         use_perceptual = use_patches and self.cfg.discriminator.use_perceptual
+        gdl_weight = self.cfg.train.gdl_weight
         roi = self.cfg.patch.roi_size
         n_samples = self.cfg.patch.num_samples
         pallas_patches = self.cfg.patch.use_pallas
@@ -359,7 +360,7 @@ class GANTrainer:
                         rng=jax.random.fold_in(rng_mb, 2))
                 ls = L.generator_loss(
                     fake_logits, gen_d, real_d, acts_fake, acts_real,
-                    use_perceptual)
+                    use_perceptual, gdl_weight=gdl_weight)
                 return ls["g_loss"], (ls, g_upd["batch_stats"], d_stats2, gen)
 
             (_, (ls, g_stats, d_stats, gen)), grads = jax.value_and_grad(
@@ -496,6 +497,7 @@ class GANTrainer:
         one_sided = self.cfg.train.one_sided_label_value
         use_patches = self.mode == "patch"
         use_perceptual = use_patches and self.cfg.discriminator.use_perceptual
+        gdl_weight = self.cfg.train.gdl_weight
         roi = self.cfg.patch.roi_size
         n_samples = self.cfg.patch.num_samples
         pallas_patches = self.cfg.patch.use_pallas
@@ -524,7 +526,7 @@ class GANTrainer:
                         rng=jax.random.fold_in(g_rng_mb, 2))
                 ls_g = L.generator_loss(
                     fake_logits_g, gen_d, real_d, acts_fake, acts_real,
-                    use_perceptual)
+                    use_perceptual, gdl_weight=gdl_weight)
                 gen_sg = jax.lax.stop_gradient(gen)
                 if use_patches:
                     gen_d2, real_d2 = random_patch_pairs(

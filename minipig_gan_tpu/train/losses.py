@@ -106,6 +106,30 @@ def perceptual_loss(
     return total
 
 
+def gradient_difference_loss(y_hat: jax.Array, y: jax.Array) -> jax.Array:
+    """Mean L1 between the spatial finite differences of prediction and
+    target, averaged over the three spatial axes (Mathieu et al. 2015,
+    "Deep multi-scale video prediction beyond MSE", alpha=1).
+
+    Reference-plus loss option (no reference analogue): plain L1
+    (GAN_final.py:247-248) is minimized by over-smooth outputs, which the
+    binned-MI eval (ops/metrics.py::mutual_information) punishes via a
+    collapsed marginal-entropy term — see the "Mutual information" section
+    of results/README.md. Matching the target's spatial gradients restores
+    fine texture without rewarding noise hallucination (unlike an entropy
+    bonus, GDL is still zero-minimized at the exact target).
+
+    Inputs are NDHWC (or any layout whose axes 1..3 are spatial)."""
+    a = y_hat.astype(jnp.float32)
+    b = y.astype(jnp.float32)
+    total = jnp.float32(0.0)
+    for axis in (1, 2, 3):
+        da = jnp.diff(a, axis=axis)
+        db = jnp.diff(b, axis=axis)
+        total = total + jnp.mean(jnp.abs(da - db))
+    return total / 3.0
+
+
 def generator_loss(
     fake_logits: jax.Array,
     generated: jax.Array,
@@ -113,9 +137,11 @@ def generator_loss(
     acts_fake: Sequence[jax.Array] = (),
     acts_real: Sequence[jax.Array] = (),
     use_perceptual: bool = False,
+    gdl_weight: float = 0.0,
 ) -> Dict[str, jax.Array]:
-    """g_loss = BCE(D(G(x)), 1) + L1(G(x), y) [+ perceptual]
-    (GAN_final.py:254-273; test_runs/GAN.py:339-401)."""
+    """g_loss = BCE(D(G(x)), 1) + L1(G(x), y) [+ perceptual] [+ w*GDL]
+    (GAN_final.py:254-273; test_runs/GAN.py:339-401; GDL is a
+    reference-plus option, default off — see gradient_difference_loss)."""
     g_adv = bce_with_logits(fake_logits, 1.0)
     g_recon = l1_loss(generated, target)
     out = {"g_adv_loss": g_adv, "g_recon_loss": g_recon}
@@ -124,6 +150,10 @@ def generator_loss(
         g_perc = perceptual_loss(list(acts_fake), list(acts_real))
         out["g_perceptual_loss"] = g_perc
         g = g + g_perc
+    if gdl_weight:
+        g_gdl = gradient_difference_loss(generated, target)
+        out["g_gdl_loss"] = g_gdl
+        g = g + gdl_weight * g_gdl
     out["g_loss"] = g
     return out
 

@@ -109,3 +109,46 @@ def test_bce_probs_saturation_matches_torch():
         tv = float(torch.nn.functional.binary_cross_entropy(torch.tensor(p), tt))
         jv = float(L.bce(jnp.asarray(p), target))
         np.testing.assert_allclose(jv, tv, rtol=1e-5)
+
+
+def test_gdl_zero_at_target_positive_for_smooth():
+    """gradient_difference_loss is zero-minimized at the exact target and
+    penalizes a smoothed (texture-erased) prediction — the property that
+    makes it an anti-oversmoothing term (losses.py docstring)."""
+    rs = np.random.RandomState(5)
+    y = rs.randn(1, 8, 8, 8, 1).astype(np.float32)
+    assert float(L.gradient_difference_loss(jnp.asarray(y), jnp.asarray(y))) == 0.0
+    smooth = y.copy()
+    for ax in (1, 2, 3):
+        smooth = 0.5 * smooth + 0.25 * (np.roll(smooth, 1, ax) + np.roll(smooth, -1, ax))
+    val = float(L.gradient_difference_loss(jnp.asarray(smooth), jnp.asarray(y)))
+    assert val > 0.1
+
+
+def test_gdl_matches_manual_finite_differences():
+    rs = np.random.RandomState(6)
+    a = rs.randn(2, 5, 6, 7, 1).astype(np.float32)
+    b = rs.randn(2, 5, 6, 7, 1).astype(np.float32)
+    expected = np.mean([
+        np.abs(np.diff(a, axis=ax) - np.diff(b, axis=ax)).mean()
+        for ax in (1, 2, 3)
+    ])
+    ours = float(L.gradient_difference_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, expected, rtol=1e-6)
+
+
+def test_generator_loss_gdl_term_wiring():
+    """gdl_weight>0 adds g_gdl_loss to the dict and w*gdl to g_loss;
+    gdl_weight=0 keeps the reference's exact loss surface (no extra key)."""
+    rs = np.random.RandomState(7)
+    logits = jnp.asarray(rs.randn(2, 1).astype(np.float32))
+    gen = jnp.asarray(rs.randn(2, 4, 4, 4, 1).astype(np.float32))
+    tgt = jnp.asarray(rs.randn(2, 4, 4, 4, 1).astype(np.float32))
+    base = L.generator_loss(logits, gen, tgt)
+    assert "g_gdl_loss" not in base
+    w = 0.7
+    out = L.generator_loss(logits, gen, tgt, gdl_weight=w)
+    gdl = float(L.gradient_difference_loss(gen, tgt))
+    np.testing.assert_allclose(float(out["g_gdl_loss"]), gdl, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(out["g_loss"]), float(base["g_loss"]) + w * gdl, rtol=1e-6)

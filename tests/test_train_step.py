@@ -257,3 +257,26 @@ def test_lr_decay_schedule_reaches_alpha_floor():
     leaves_b = jax.tree.leaves(before)
     leaves_a = jax.tree.leaves(after)
     assert all(np.array_equal(b, a) for b, a in zip(leaves_b, leaves_a))
+
+
+def test_gdl_weight_wires_into_gan_and_patch_steps():
+    """train.gdl_weight>0 surfaces g_gdl_loss in the step metrics (finite)
+    and changes the G update vs gdl_weight=0 in both loss-scopes: full
+    volumes (gan mode) and sampled patches (patch mode)."""
+    for mode in ("gan", "patch"):
+        batch = make_batch()
+        outs = {}
+        for w in (0.0, 1.0):
+            cfg = tiny_cfg(mode, gdl_weight=w)
+            tr = GANTrainer(cfg)
+            state = tr.init(jax.random.PRNGKey(0), batch)
+            new_state, metrics = jax.jit(tr.train_step)(state, batch)
+            if w:
+                assert "g_gdl_loss" in metrics, mode
+                assert np.isfinite(float(metrics["g_gdl_loss"])), mode
+            else:
+                assert "g_gdl_loss" not in metrics, mode
+            outs[w] = new_state.g_params
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), outs[0.0], outs[1.0])))
+        assert diff > 0, f"{mode}: GDL term did not affect the G update"

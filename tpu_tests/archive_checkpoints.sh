@@ -11,12 +11,16 @@
 # by last_step.json (the post-save commit point) is archived, so a copy can
 # never race a half-written checkpoint.
 #
-# Usage: nohup bash tpu_tests/archive_checkpoints.sh >/tmp/ckpt_archive.log 2>&1 &
+# Usage: nohup bash tpu_tests/archive_checkpoints.sh [run_dir...] \
+#            >/tmp/ckpt_archive.log 2>&1 &
 #        echo $! > /tmp/ckpt_archive.pid
+#   run_dir args default to runs/q3_* and runs/q4_*; ONCE=1 does a single
+#   pass instead of the 20s-poll daemon loop.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+if [ $# -gt 0 ]; then RUNS=("$@"); else RUNS=("$REPO"/runs/q3_* "$REPO"/runs/q4_*); fi
 while true; do
-  for run in "$REPO"/runs/q3_*; do
+  for run in "${RUNS[@]}"; do
     [ -d "$run/checkpoints" ] || continue
     js="$run/checkpoints/last_step.json"
     [ -f "$js" ] || continue
@@ -29,5 +33,6 @@ while true; do
         && echo "$(date -u +%H:%M:%S) archived $name <- $run"
     fi
   done
+  [ "${ONCE:-}" = "1" ] && break
   sleep 20
 done

@@ -1,0 +1,75 @@
+#!/bin/bash
+# GDL fine-tune sweep: the round-4 MI attack (VERDICT r3 item 2).
+#
+# The canonical run beats identity on MAE/MSE/PSNR/SSIM but not binned MI
+# (0.621 vs 0.698; oracle 0.737). Mechanism (results/README.md, "Mutual
+# information"): L1-selected checkpoints are over-smooth, so H(gen|gt)
+# stays high relative to H(gen). The fixture's shared texture component
+# is recoverable from T1 (data/synthetic.py: opposed-sign shared_tex), so
+# a generator that transfers texture harder can raise MI. The
+# gradient-difference loss (train/losses.py::gradient_difference_loss)
+# targets exactly that: match the TARGET's spatial gradients instead of
+# only its values.
+#
+# Plan: resume the finished canonical run (runs/q3_canonical, 2500 steps)
+# for +400 steps per GDL weight at the post-decay LR floor (1e-4 =
+# 0.05 * 2e-3), then rank every retained checkpoint on the VALIDATION
+# split by MI (examples/select_checkpoint.py — test split untouched).
+# The winner gets ONE test-split evaluation via collect_artifacts.
+#
+# Usage (on the chip):  bash tpu_tests/gdl_finetune.sh
+#   GDL_WEIGHTS="0.5 2.0"  override the sweep
+#   FT_STEPS=400           extra steps per arm
+set -eu
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+SRC=runs/q3_canonical
+WEIGHTS=${GDL_WEIGHTS:-"0.5 2.0"}
+FT=${FT_STEPS:-400}
+BASE_STEP=$(python3 -c "import json;print(json.load(open('$SRC/checkpoints/last_step.json'))['step'])")
+TOTAL=$((BASE_STEP + FT))
+
+for W in $WEIGHTS; do
+    RUN=runs/q4_gdl_w${W}
+    if [[ ! -e $RUN/checkpoints/last_step.json ]]; then
+        mkdir -p "$RUN/checkpoints"
+        # hardlink-copy the resume point (no disk cost, source read-only)
+        SRC_CKPT=$(python3 -c "import json;print(json.load(open('$SRC/checkpoints/last_step.json'))['path'])")
+        NAME=$(basename "$SRC_CKPT")
+        cp -al "$SRC_CKPT" "$RUN/checkpoints/$NAME"
+        python3 - "$RUN" "$NAME" "$BASE_STEP" <<'EOF'
+import json, sys
+from pathlib import Path
+run, name, step = sys.argv[1], sys.argv[2], int(sys.argv[3])
+p = Path(run) / "checkpoints"
+(p / "last_step.json").write_text(json.dumps(
+    {"step": step, "path": str((p / name).resolve())}))
+EOF
+    fi
+    echo "== GDL w=$W: fine-tune $BASE_STEP -> $TOTAL"
+    # ladder archiver for THIS run (rolling checkpoints are GC'd otherwise)
+    nohup bash tpu_tests/archive_checkpoints.sh "$PWD/$RUN" \
+        > /tmp/gdl_archive_${W}.log 2>&1 &
+    ARCH_PID=$!
+    python -m minipig_gan_tpu.cli.train --synthetic \
+        --set data.synthetic_num_pairs=80 \
+        --set train.g_lr=1e-4 --set train.d_lr=2.5e-5 \
+        --set train.accum_steps=2 \
+        --set train.monitor_every=50 \
+        --set train.checkpoint_every=100 \
+        --set train.seed=0 \
+        --set train.lr_decay_steps=0 \
+        --set train.gdl_weight="$W" \
+        --mode gan --steps "$TOTAL" --log-dir "$RUN"
+    ONCE=1 bash tpu_tests/archive_checkpoints.sh "$PWD/$RUN" || true
+    kill "$ARCH_PID" 2>/dev/null || true
+    echo "== GDL w=$W: validation-split selection by MI"
+    python examples/select_checkpoint.py --run "$RUN" \
+        --metric mi_t2gen_vs_t2gt
+done
+
+echo "== sweep done; selections:"
+for W in $WEIGHTS; do
+    echo "-- w=$W"; cat "runs/q4_gdl_w${W}/selection/selection.json" 2>/dev/null | head -30 || true
+done
