@@ -17,6 +17,16 @@
 # split by MI (examples/select_checkpoint.py — test split untouched).
 # The winner gets ONE test-split evaluation via collect_artifacts.
 #
+# STATUS (round 4, after tpu_tests/mi_texture_proxy.py): SUPERSEDED before
+# any chip time was spent. The CPU proxy shows texture restoration LOWERS
+# binned MI on this fixture at every tested amplitude (the T1 high-pass
+# residual's indep_tex + receiver-noise contamination spreads the joint
+# histogram faster than the shared component concentrates it), and even a
+# perfectly smooth oracle loses only 0.034 to identity — the deficit is
+# accuracy, not texture. The GDL loss option remains a tested framework
+# feature (train.gdl_weight); the MI attack moved to
+# tpu_tests/mi_finetune.sh (fresh-subject fine-tune with oracle targets).
+#
 # Usage (on the chip):  bash tpu_tests/gdl_finetune.sh
 #   GDL_WEIGHTS="0.5 2.0"  override the sweep
 #   FT_STEPS=400           extra steps per arm
