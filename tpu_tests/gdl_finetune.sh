@@ -27,6 +27,12 @@
 # feature (train.gdl_weight); the MI attack moved to
 # tpu_tests/mi_finetune.sh (fresh-subject fine-tune with oracle targets).
 #
+# KNOWN BUG (would bite if revived): lr_decay_steps=0 below builds a
+# different optax chain than the canonical run's cosine schedule, so the
+# orbax resume fails ("Source EmptyState, Target dict"). Keep the source
+# run's schedule (g_lr=2e-3, lr_decay_steps=2500) — it clamps to the same
+# 1e-4 floor past step 2500. See mi_finetune.sh.
+#
 # Usage (on the chip):  bash tpu_tests/gdl_finetune.sh
 #   GDL_WEIGHTS="0.5 2.0"  override the sweep
 #   FT_STEPS=400           extra steps per arm

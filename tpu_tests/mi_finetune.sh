@@ -17,7 +17,14 @@
 #
 # Usage (on the chip):  bash tpu_tests/mi_finetune.sh
 #   FT_STEPS=800   extra steps
-#   G_LR=1e-4      fine-tune LR (floor of the canonical cosine decay)
+#
+# LR: the optimizer hyperparams MUST rebuild the source run's exact optax
+# chain or orbax refuses the restore (lr_decay_steps=0 drops the
+# scale_by_schedule state -> "Source EmptyState, Target dict"). So the
+# fine-tune keeps the canonical schedule (g_lr=2e-3, cosine over 2500):
+# optax.cosine_decay_schedule clamps past decay_steps, so every fine-tune
+# step runs at the post-decay floor (alpha*base = 1e-4 / d 2.5e-5) — the
+# intended floor LR, with a restorable state tree.
 set -eu
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -25,8 +32,6 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 SRC=runs/q3_canonical
 RUN=runs/q4_mi_ft
 FT=${FT_STEPS:-800}
-G_LR=${G_LR:-1e-4}
-D_LR=${D_LR:-2.5e-5}
 BASE_STEP=$(python3 -c "import json;print(json.load(open('$SRC/checkpoints/last_step.json'))['step'])")
 TOTAL=$((BASE_STEP + FT))
 
@@ -60,12 +65,12 @@ nohup bash tpu_tests/archive_checkpoints.sh "$PWD/$RUN" \
 ARCH_PID=$!
 python -m minipig_gan_tpu.cli.train \
     --data "$RUN/ft_data/structure.json" \
-    --set train.g_lr="$G_LR" --set train.d_lr="$D_LR" \
+    --set train.g_lr=2e-3 \
     --set train.accum_steps=2 \
     --set train.monitor_every=50 \
     --set train.checkpoint_every=100 \
     --set train.seed=0 \
-    --set train.lr_decay_steps=0 \
+    --set train.lr_decay_steps=2500 \
     --mode gan --steps "$TOTAL" --log-dir "$RUN"
 ONCE=1 bash tpu_tests/archive_checkpoints.sh "$PWD/$RUN" || true
 kill "$ARCH_PID" 2>/dev/null || true
