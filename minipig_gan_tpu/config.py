@@ -179,6 +179,14 @@ class DataConfig:
     prefetch: int = 2
     # synthetic fallback (CPU-testable fixture; SURVEY.md §7.1)
     synthetic_num_pairs: int = 0
+    # deep structures per synthetic subject (data/synthetic.py
+    # _BLOB_CLASSES): T1-isointense/T2-distinct anatomy that makes the
+    # T1-identity MI baseline realistically weak. 0 = historical fixture.
+    synthetic_blobs: int = 0
+    # T1 scanner-bias-field amplitude (data/synthetic.py): smooth
+    # multiplicative gain the identity baseline cannot undo but a
+    # global-context generator can. 0 = historical fixture.
+    synthetic_t1_bias: float = 0.0
 
 
 @dataclass(frozen=True)

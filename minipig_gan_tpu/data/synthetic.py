@@ -35,6 +35,36 @@ _COMPARTMENTS = (
     (0.25, 0.20, 0.95),  # ventricles / CSF
 )
 
+# Optional deep structures (`n_blobs`): each class REUSES an existing
+# compartment's T1 intensity (so the voxelwise T1->T2 value map is
+# ambiguous) while carrying its own T2 intensity, and is identifiable from
+# SPATIAL context alone — size and surrounding tissue — which a conv
+# receptive field sees and a lone intensity cannot. This is the dominant
+# mechanism of real cross-modality data (cysts, calcifications, deep
+# nuclei all T1-isointense with other tissue but T2-distinct) and what
+# makes the reference's real-data T1-identity baseline WEAK on estimated
+# MI (BASELINE.md: identity 0.196 << generated 0.292 << self 0.445). The
+# blob-free default fixture lacks it — its dark-T1 voxels are 96% skull by
+# volume, so identity MI sits at 97% of the clean-oracle ceiling and no
+# trained generator can land the reference's MI ordering there
+# (docs/ROUND7_NOTES.md #5-7: texture, GDL, fine-tune and intensity-LUT
+# attacks all measured dead).
+#   (t1 level, t2 level, radius range, center-radius band, name)
+_BLOB_CLASSES = (
+    # dark-T1 like skull/CSF; big and T2-bright — a cyst. Radii are sized
+    # for the training fixture's source resolution (spatial_size//2, i.e.
+    # 64^3 for the canonical 128^3 grid): 0.2 normalized units ~ 5 voxels.
+    (0.20, 0.80, (0.180, 0.260), (0.38, 0.60), "cyst"),
+    # dark-T1; small and T2-darkest — a calcification (size separates it
+    # from the cyst; both separate from skull/shell and ventricles/center
+    # by position)
+    (0.20, 0.08, (0.070, 0.110), (0.35, 0.70), "calcification"),
+    # gray-matter T1 inside the white shell; T2-dark — a deep nucleus
+    (0.55, 0.30, (0.110, 0.160), (0.62, 0.74), "nucleus"),
+    # white-matter T1 inside the gray core; T2-dark — an ectopic WM island
+    (0.75, 0.15, (0.110, 0.160), (0.32, 0.50), "wm_island"),
+)
+
 
 def synthetic_pair(
     shape_zyx: Tuple[int, int, int] = (48, 56, 44),
@@ -45,6 +75,8 @@ def synthetic_pair(
     shared_tex: float = 0.08,
     indep_tex: float = 0.02,
     noise: float = 0.015,
+    n_blobs: int = 0,
+    t1_bias: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, ImageMeta]:
     """Return (t1w, t2w, meta) with shared anatomy, differing contrast.
 
@@ -76,7 +108,18 @@ def synthetic_pair(
     perfect-generator MAE 4.4 vs identity 8.9 (reference: 4.365 vs 11.851),
     PSNR 34.8 vs 20.2, MI 0.796 vs 0.747 (trained checkpoints track the
     clean-oracle MI to ~98%, results/canonical_r3). The MI ordering is
-    regression-guarded in tests/test_fixture_mi_ordering.py."""
+    regression-guarded in tests/test_fixture_mi_ordering.py.
+
+    `n_blobs` > 0 additionally paints that many deep structures from
+    _BLOB_CLASSES (round-robin) — T1-isointense with another compartment
+    but T2-distinct, resolvable only from spatial context. `t1_bias` > 0
+    multiplies T1 by a smooth random gain field 1 + t1_bias*g (a scanner
+    bias field, the artifact N4/ITK bias correction exists for): the
+    absolute T1 intensity no longer identifies tissue — the same class
+    lands at different intensities in different corners of the volume —
+    which is invisible to the voxelwise T1-identity baseline but
+    correctable by a generator with global context. Both default to the
+    historical fixture (bit-identical at n_blobs=0, t1_bias=0)."""
     rng = np.random.RandomState(seed)
     if spacing is None:
         jitter = rng.uniform(0.85, 1.1, 3)
@@ -98,6 +141,29 @@ def synthetic_pair(
         mask = r < scale
         t1[mask] = i1
         t2[mask] = i2
+    if n_blobs:
+        # Deep structures (_BLOB_CLASSES). Drawn from a DERIVED RandomState
+        # so (a) n_blobs=0 is bit-identical to the historical fixture and
+        # (b) the blob geometry is invariant to the texture/noise settings
+        # — the clean-oracle regeneration (same seed, noise=0.0) keeps the
+        # exact anatomy, which tpu_tests/oracle_floor.py relies on.
+        brng = np.random.RandomState((seed * 7919 + 4242) % (2**31))
+        for bi in range(n_blobs):
+            i1, i2, (r0, r1), (c0, c1), _name = \
+                _BLOB_CLASSES[bi % len(_BLOB_CLASSES)]
+            rad = brng.uniform(r0, r1)
+            u = brng.randn(3)
+            u /= max(float(np.linalg.norm(u)), 1e-9)
+            rc = brng.uniform(c0, c1)
+            bz, by, bx = np.array([cz, cy, cx]) + u * rc * np.array([az, ay, ax])
+            rb = np.sqrt(
+                ((zz - bz) / (rad * az)) ** 2
+                + ((yy - by) / (rad * ay)) ** 2
+                + ((xx - bx) / (rad * ax)) ** 2
+            )
+            mask = rb < 1.0
+            t1[mask] = i1
+            t2[mask] = i2
     # Texture (see docstring): shared + independent smooth components inside
     # the head, independent receiver noise everywhere. Applied only INSIDE
     # the head because real scans share anatomy but their background is
@@ -125,6 +191,26 @@ def synthetic_pair(
         + noise * rng.randn(*shape_zyx).astype(np.float32)
     t2 += (-shared_tex * tex_shared + indep_tex * tex_t2) * inside \
         + noise * rng.randn(*shape_zyx).astype(np.float32)
+    if t1_bias:
+        # Smooth multiplicative gain field: a coarse 3^3 Gaussian grid
+        # trilinearly upsampled to the volume. Drawn from a DERIVED
+        # RandomState (same derivation rule as the blobs) so the field is
+        # identical across texture/noise settings — the oracle
+        # regenerations in tpu_tests/{oracle_floor,mi_fixture_analysis}.py
+        # depend on that invariance.
+        grng = np.random.RandomState((seed * 6007 + 1717) % (2**31))
+        k = 5  # control grid: coarse enough to stay smooth, fine enough
+        #        to vary across the head (which fills the central third)
+        coarse = grng.randn(k, k, k)
+        f = coarse
+        for ax, n in enumerate(shape_zyx):
+            pts = np.linspace(0, k - 1, n)
+            i0 = np.clip(pts.astype(np.int64), 0, k - 2)
+            w = (pts - i0).reshape([-1 if a == ax else 1 for a in range(3)])
+            f = (1 - w) * np.take(f, i0, axis=ax) \
+                + w * np.take(f, i0 + 1, axis=ax)
+        f = (f - float(f.mean())) / max(float(f.std()), 1e-9)
+        t1 *= np.clip(1.0 + t1_bias * f, 0.4, None).astype(np.float32)
     t1 *= 1000.0  # MRI-like raw intensity scale
     t2 *= 800.0
 
@@ -149,6 +235,8 @@ def make_bids_dataset(
     splits: Sequence[float] = (0.5, 0.25, 0.25),
     seed: int = 0,
     gzip: bool = True,
+    n_blobs: int = 0,
+    t1_bias: float = 0.0,
 ) -> str:
     """Write a synthetic BIDS tree and its structure.json; returns json path."""
     root = Path(root)
@@ -158,7 +246,8 @@ def make_bids_dataset(
             ses_dir = root / f"sub-{si:04d}" / f"ses-{se:02d}"
             ses_dir.mkdir(parents=True, exist_ok=True)
             t1, t2, meta = synthetic_pair(
-                shape_zyx=shape_zyx, seed=seed * 1000 + si * 10 + se
+                shape_zyx=shape_zyx, seed=seed * 1000 + si * 10 + se,
+                n_blobs=n_blobs, t1_bias=t1_bias,
             )
             write_nifti(ses_dir / f"sub-{si:04d}_ses-{se:02d}_T1w{ext}", t1, meta)
             write_nifti(ses_dir / f"sub-{si:04d}_ses-{se:02d}_T2w{ext}", t2, meta)

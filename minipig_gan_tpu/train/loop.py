@@ -61,6 +61,8 @@ def build_datasets(cfg: Config, log_dir: Path, lazy_train: bool = False):
                 max(16, cfg.data.spatial_size[2] // 2),
             ),
             seed=cfg.train.seed,
+            n_blobs=cfg.data.synthetic_blobs,
+            t1_bias=cfg.data.synthetic_t1_bias,
         )
     structure = load_structure(structure_json)
     pairs = split_pairs(structure)

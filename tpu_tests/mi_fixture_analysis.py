@@ -62,6 +62,11 @@ def main() -> None:
                    help="use the round-2 fixture parameters (identical "
                         "shared texture, 1%% noise) to demonstrate the "
                         "inversion this analysis explains")
+    p.add_argument("--blobs", type=int, default=0,
+                   help="deep structures per subject (round-4 enriched "
+                        "fixture: T1-isointense/T2-distinct anatomy)")
+    p.add_argument("--bias", type=float, default=0.0,
+                   help="T1 bias-field amplitude (round-4 enriched fixture)")
     args = p.parse_args()
 
     import os
@@ -82,6 +87,10 @@ def main() -> None:
 
     fixture_kw = (dict(shared_tex=0.05, indep_tex=0.0, noise=0.01)
                   if args.old_fixture else {})
+    if args.blobs:
+        fixture_kw["n_blobs"] = args.blobs
+    if args.bias:
+        fixture_kw["t1_bias"] = args.bias
 
     def norm(v):
         return np.asarray(
@@ -144,7 +153,18 @@ def main() -> None:
         _, t2_clean, _ = synthetic_pair(shape_zyx=shape, seed=seed,
                                         **dict(fixture_kw, noise=0.0))
         oracle = preprocess(t2_clean, meta)
-        v8, d8, o8 = u8(gen_vox), u8(gen_den), u8(oracle)
+        # REGRESSOR oracle: clean T2 with T2's independent texture also
+        # zeroed — the exact output of a perfect context-using regressor
+        # E[t2 | full anatomy]: no realizable generator (which only sees
+        # t1) can know t2's independent component, so THIS, not the clean
+        # oracle, is the ceiling a trained net can approach. identity <
+        # regressor-oracle is the fixture property that makes the
+        # reference's MI ordering winnable by training.
+        _, t2_pred, _ = synthetic_pair(
+            shape_zyx=shape, seed=seed,
+            **dict(fixture_kw, noise=0.0, indep_tex=0.0))
+        pred = preprocess(t2_pred, meta)
+        v8, d8, o8, p8 = u8(gen_vox), u8(gen_den), u8(oracle), u8(pred)
         t8, i8 = u8(t2n), u8(t1n)
         per_bins = {}
         for bins in bins_sweep:
@@ -153,6 +173,7 @@ def main() -> None:
                 float(mutual_information(v8, t8, bins=bins)),
                 float(mutual_information(d8, t8, bins=bins)),
                 float(mutual_information(o8, t8, bins=bins)),
+                float(mutual_information(p8, t8, bins=bins)),
                 float(mutual_information(t8, t8, bins=bins)),
             )
         rows.append(per_bins)
@@ -160,23 +181,26 @@ def main() -> None:
     print(f"fixture={'round-2 (old)' if args.old_fixture else 'round-3'} "
           f"resample={args.resample} n={args.n} shape={shape}")
     print(f"{'bins':>5} {'MI identity':>12} {'MI voxel-LUT':>13} "
-          f"{'MI denoise-gen':>15} {'MI oracle':>11} {'MI self':>9}  ordering")
+          f"{'MI denoise-gen':>15} {'MI oracle':>11} {'MI regressor':>13} "
+          f"{'MI self':>9}  ordering")
     for bins in bins_sweep:
         ident = np.array([r[bins][0] for r in rows])
         vox = np.array([r[bins][1] for r in rows])
         den = np.array([r[bins][2] for r in rows])
         orc = np.array([r[bins][3] for r in rows])
-        self_ = np.array([r[bins][4] for r in rows])
-        if orc.mean() > ident.mean():
-            ok = "oracle > identity  (ordering achievable"
-            ok += "; denoise-LUT carries it too)" if den.mean() > ident.mean() \
-                else "; needs real translation quality)"
+        prd = np.array([r[bins][4] for r in rows])
+        self_ = np.array([r[bins][5] for r in rows])
+        if prd.mean() > ident.mean():
+            ok = "regressor > identity (winnable by a realizable net)"
+        elif orc.mean() > ident.mean():
+            ok = "only the privileged oracle wins (net ceiling BELOW identity)"
         else:
             ok = "INVERTED (un-winnable fixture)"
         print(f"{bins:>5} {ident.mean():>7.3f}±{ident.std():.3f} "
               f"{vox.mean():>8.3f}±{vox.std():.3f} "
               f"{den.mean():>9.3f}±{den.std():.3f} "
               f"{orc.mean():>7.3f}±{orc.std():.3f} "
+              f"{prd.mean():>8.3f}±{prd.std():.3f} "
               f"{self_.mean():>8.3f}  {ok}")
 
 
