@@ -83,6 +83,21 @@ RUNS = {
         args=["--mode", "patch", "--set", "discriminator.use_perceptual=false",
               "--set", "train.lr_decay_steps=2200"],
     ),
+    # Round-4 MI campaign: the canonical config on the ENRICHED fixture
+    # (deep-structure blobs + T1 bias field, data/synthetic.py) where the
+    # realizable-net MI ceiling sits 28% above identity (regressor 0.979 vs
+    # identity 0.764 at bins=64; tpu_tests/mi_fixture_analysis.py --blobs 4
+    # --bias 0.3). Checkpoint selection for this run goes through
+    # examples/select_checkpoint.py on validation MI, NOT best-g_recon —
+    # pass --select-metric.
+    "enriched": dict(
+        steps=2500,
+        run_name="q4_enriched",
+        out_name="enriched_r4",
+        args=["--mode", "gan", "--set", "train.lr_decay_steps=2500",
+              "--set", "data.synthetic_blobs=4",
+              "--set", "data.synthetic_t1_bias=0.3"],
+    ),
 }
 
 
@@ -110,6 +125,11 @@ def main() -> None:
                    metavar="KEY=VALUE",
                    help="additional --set overrides appended after the "
                         "preset's (last one wins in the CLI)")
+    p.add_argument("--select-metric", default=None,
+                   help="rank retained checkpoints on the VALIDATION split "
+                        "by this metric (examples/select_checkpoint.py) and "
+                        "evaluate the winner, instead of best-g_recon "
+                        "(e.g. mi_t2gen_vs_t2gt for the MI campaign)")
     p.add_argument("--cpu16", action="store_true",
                    help="PROVISIONAL CPU-scale evidence at 16^3 (the "
                         "1-core-budget variant of --cpu32: ~3-4 s/step, a "
@@ -121,7 +141,7 @@ def main() -> None:
         if args.only and name != args.only:
             continue
         steps = max(2, int(spec["steps"] * args.steps_scale))
-        log_dir = Path(args.runs_dir) / f"q3_{name}"
+        log_dir = Path(args.runs_dir) / spec.get("run_name", f"q3_{name}")
         base = [sys.executable, "-m", "minipig_gan_tpu.cli.train",
                 *COMMON, *spec["args"], "--log-dir", str(log_dir)]
         extra = []
@@ -189,10 +209,22 @@ def main() -> None:
                     f"chunk made no checkpoint progress ({done} -> {new_done})")
             done = new_done
 
-        out = Path(args.results_dir) / f"{name}_r3"
+        out = Path(args.results_dir) / spec.get("out_name", f"{name}_r3")
         collect = [sys.executable, str(REPO / "examples/collect_artifacts.py"),
                    "--run", str(log_dir), "--out", str(out),
                    "--bn-recalibrate", "50"]
+        if args.select_metric:
+            import json as _json
+
+            sel_cmd = [sys.executable,
+                       str(REPO / "examples/select_checkpoint.py"),
+                       "--run", str(log_dir), "--metric", args.select_metric,
+                       "--bn-recalibrate", "50"]
+            print(f"=== select ({args.select_metric}) {name}", flush=True)
+            subprocess.run(sel_cmd, check=True, cwd=str(REPO))
+            sel = _json.loads(
+                (log_dir / "selection" / "selection.json").read_text())
+            collect += ["--ckpt", sel["winner"]["checkpoint"]]
         print(f"=== collect {name} -> {out}", flush=True)
         subprocess.run(collect, check=True, cwd=str(REPO))
 
