@@ -98,6 +98,19 @@ RUNS = {
               "--set", "data.synthetic_blobs=4",
               "--set", "data.synthetic_t1_bias=0.3"],
     ),
+    # Seed replication of the enriched_r4 headline: identical fixture and
+    # splits, different training randomness (init/shuffle/noise draws) —
+    # evidence the 20/20 MI win is a property of the configuration, not of
+    # train.seed=0.
+    "enriched_seed1": dict(
+        steps=2500,
+        run_name="q4_enriched_s1",
+        out_name="enriched_s1_r4",
+        args=["--mode", "gan", "--set", "train.lr_decay_steps=2500",
+              "--set", "data.synthetic_blobs=4",
+              "--set", "data.synthetic_t1_bias=0.3",
+              "--set", "train.seed=1"],
+    ),
 }
 
 
