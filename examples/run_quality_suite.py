@@ -111,6 +111,26 @@ RUNS = {
               "--set", "data.synthetic_t1_bias=0.3",
               "--set", "train.seed=1"],
     ),
+    # The reference's perceptual A/B (GAN.py vs GAN2.py) re-run on the
+    # enriched headline fixture: does the perceptual term's texture
+    # sharpening pay on a fixture whose MI margin is context-carried?
+    "enriched_patch": dict(
+        steps=2200,
+        run_name="q4_enriched_patch",
+        out_name="enriched_patch_r4",
+        args=["--mode", "patch", "--set", "train.lr_decay_steps=2200",
+              "--set", "data.synthetic_blobs=4",
+              "--set", "data.synthetic_t1_bias=0.3"],
+    ),
+    "enriched_patch_noperc": dict(
+        steps=2200,
+        run_name="q4_enriched_patch_noperc",
+        out_name="enriched_patch_noperc_r4",
+        args=["--mode", "patch", "--set", "discriminator.use_perceptual=false",
+              "--set", "train.lr_decay_steps=2200",
+              "--set", "data.synthetic_blobs=4",
+              "--set", "data.synthetic_t1_bias=0.3"],
+    ),
 }
 
 
