@@ -98,10 +98,13 @@ RUNS = {
               "--set", "data.synthetic_blobs=4",
               "--set", "data.synthetic_t1_bias=0.3"],
     ),
-    # Seed replication of the enriched_r4 headline: identical fixture and
-    # splits, different training randomness (init/shuffle/noise draws) —
-    # evidence the 20/20 MI win is a property of the configuration, not of
-    # train.seed=0.
+    # Seed replication of the enriched_r4 headline. train.seed seeds the
+    # WHOLE pipeline (train/loop.py: make_bids_dataset(seed=train.seed),
+    # split permutation, init, shuffling), so seed=1 is a fully
+    # independent end-to-end draw — fresh phantom realization, fresh
+    # train/val/test split, fresh training randomness — evidence the
+    # 20/20 MI win is a property of the configuration, not of one seed's
+    # data or initialization.
     "enriched_seed1": dict(
         steps=2500,
         run_name="q4_enriched_s1",
