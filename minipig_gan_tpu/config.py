@@ -145,6 +145,19 @@ class TrainConfig:
     # canonical config) plus a per-step masked select over the state (~1 ms
     # at HBM rate vs the 2.2 s step). Turn off if HBM-constrained.
     monitor_exact: bool = True
+    # Defer the monitor-checkpoint DECISION (and its full-state
+    # device->host fetch) to every Nth monitor window (1 = every window,
+    # current/Lightning-parity behavior). With monitor_exact the device-side
+    # argmin tracker spans the deferred windows, so the saved weights are
+    # still the EXACT argmin state over the span — only the save cadence
+    # (and hence the index granularity) coarsens; the FINAL best checkpoint
+    # per key is identical. Measured motive: on a tunneled device
+    # (~10 MB/s host link) early training improves nearly every window and
+    # each improvement fetches the full ~165 MB train state — ~0.7 s/step
+    # of the canonical quality run's wall. monitor_save_every=5 amortizes
+    # that 5x at the cost of <=5 windows of monitor-checkpoint durability
+    # (the rolling `last` + archive ladder are unaffected).
+    monitor_save_every: int = 1
     checkpoint_every: int = 500
     # checkpoints kept per loss monitor (reference: save_top_k=1)
     keep_top_k: int = 1

@@ -219,7 +219,14 @@ def train(cfg: Config, resume: bool = True,
     # a phantom minimum that can also reject genuinely better later states.
     pending: list = []
     metrics: Dict[str, float] = {}
-    window_rows: list = []
+    # rows accumulated since the last monitor-SAVE decision: with
+    # train.monitor_save_every=N the decision (and its full-state fetch on
+    # improvement) runs every Nth flushed window — the device-side exact
+    # tracker spans the deferred windows, so the saved weights are still
+    # the span argmin (see TrainConfig.monitor_save_every).
+    span_rows: list = []
+    save_every = max(1, cfg.train.monitor_save_every)
+    windows_flushed = 0
 
     monitor_keys = [m.metric for m in ckpts.monitors]
     exact = bool(cfg.train.monitor_exact) and monitor_every > 1
@@ -250,32 +257,37 @@ def train(cfg: Config, resume: bool = True,
         window was flushed (the monitor checkpoint decision then happens
         OUTSIDE the step timer — serializing a checkpoint to disk is not
         train-step time)."""
-        nonlocal pending, metrics, window_rows
+        nonlocal pending, metrics
         if not pending:
             return False
         host = jax.device_get([m for _, m in pending])
         if logger is not None:
             for (s, _), hm in zip(pending, host):
                 logger.log_metrics(hm, s)
-        window_rows = [(s, {k: float(v) for k, v in hm.items()})
-                       for (s, _), hm in zip(pending, host)]
+        span_rows.extend((s, {k: float(v) for k, v in hm.items()})
+                         for (s, _), hm in zip(pending, host))
         metrics = {k: min(float(hm[k]) for hm in host) for k in host[-1]}
         pending = []
         return True
 
     def save_monitors() -> None:
-        """Monitor-checkpoint decision for the just-flushed window."""
+        """Monitor-checkpoint decision for the accumulated span of flushed
+        windows (one window with monitor_save_every=1)."""
+        nonlocal best, span_rows
+        rows, span_rows = span_rows, []
+        if not rows:
+            return
         if not exact:
-            ckpts.maybe_save(lambda: jax.device_get(state), metrics, step)
+            vals = {k: min(r[1][k] for r in rows) for k in rows[-1][1]}
+            ckpts.maybe_save(lambda: jax.device_get(state), vals, step)
             return
         # exact mode: per key, save that key's own argmin state; label it
         # with the argmin STEP's full metric row (a consistent snapshot of
         # the step the weights come from, not a min over mixed steps)
-        nonlocal best
         for k in monitor_keys:
-            if not window_rows or k not in window_rows[0][1]:
+            if k not in rows[0][1]:
                 continue
-            s_k, m_k = min(window_rows, key=lambda r: r[1][k])
+            s_k, m_k = min(rows, key=lambda r: r[1][k])
             ckpts.maybe_save(lambda: jax.device_get(best[k][1]),
                              m_k, s_k, only=[k])
         best = reset_best_vals(best)
@@ -327,7 +339,10 @@ def train(cfg: Config, resume: bool = True,
             # barriers internally; process 0 decides + writes, the others
             # participate) — so no is_main gate here
             if flushed:
-                save_monitors()
+                windows_flushed += 1
+                if (windows_flushed % save_every == 0
+                        or step >= max_steps):
+                    save_monitors()
             if step % cfg.train.checkpoint_every == 0:
                 ckpts.save_last(jax.device_get(state), step)
             if step >= max_steps:

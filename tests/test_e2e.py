@@ -125,6 +125,34 @@ def test_minipig_transfer(trained):
     np.testing.assert_allclose(meta.spacing, expected_spacing, rtol=1e-4)
 
 
+def test_monitor_save_every_parity(tmp_path_factory):
+    """train.monitor_save_every defers the monitor-checkpoint decision to
+    every Nth window; with monitor_exact the device-side tracker spans the
+    deferred windows, so the FINAL best checkpoint per key (value and the
+    argmin step in its name) must be identical to the every-window cadence."""
+    import dataclasses as dc
+
+    from minipig_gan_tpu.train.loop import train
+
+    def run(save_every: int):
+        log_dir = tmp_path_factory.mktemp(f"mse{save_every}")
+        cfg = tiny_cfg(str(log_dir))
+        cfg = dc.replace(cfg, train=dc.replace(
+            cfg.train, max_steps=12, monitor_every=2,
+            monitor_save_every=save_every, checkpoint_every=6))
+        train(cfg, resume=False)
+        return json.loads((log_dir / "checkpoints" / "index.json").read_text())
+
+    idx1, idx3 = run(1), run(3)
+    assert set(idx1) == set(idx3)
+    for key in idx1:
+        (v1, p1), (v3, p3) = idx1[key]["top"][0], idx3[key]["top"][0]
+        assert v1 == pytest.approx(v3, rel=1e-6), key
+        step1 = Path(p1).name.split("step=")[1].split("-")[0]
+        step3 = Path(p3).name.split("step=")[1].split("-")[0]
+        assert step1 == step3, (key, p1, p3)
+
+
 def test_psnr_ssim_cli(trained, capsys):
     from minipig_gan_tpu.cli.psnr_ssim import main
 
